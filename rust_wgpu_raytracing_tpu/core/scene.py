@@ -1,0 +1,266 @@
+"""Scene assembly: configs + assets -> device-resident SoA arrays.
+
+TPU-native counterpart of the reference's GPU resource wiring: where the
+reference creates storage buffers of padded ModelVertexSmall/ModelFaceSmall
+structs plus uniform blocks and bind groups (src/resources.rs:215-261,
+src/models/triangle_list/triangle_list.rs:79-226), we build one flat
+"triangle soup" across all meshes with per-face attribute ids, precompute
+the per-face edge-plane data that turns ray-triangle intersection into MXU
+matmuls (see ops/megakernel.py), and register the whole thing as a JAX
+pytree so it can flow through jit/shard_map and be donated.
+
+Intersection precompute (derivation): the reference's kernel
+(triangle_list/compute.wgsl:82-148) computes, per (ray, face),
+    N = e0 x (p2-p0),  t = -(N.O + d)/(N.D),  P = O + tD
+and three inside-outside values dot(N, cross(edge_i, P - p_i)). Using the
+scalar-triple identity (a x b).c = (b x c).a, each inside-outside value is
+    (P - p_i).(N x edge_i) = O.g_i + t*(D.g_i) - p_i.g_i,  g_i = N x edge_i
+— affine in the ray, so for a tile of R rays all F faces are covered by the
+single matmul (R,3) @ (3, 4F) over the packed [N | g0 | g1 | g2] planes.
+This is the TPU-first replacement for the WGSL per-thread loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import MeshConfig, SceneConfig, SphereConfig, resolve_asset
+from ..io.obj import ObjMaterial, ObjMesh, load_obj
+from ..io.textures import TextureData, load_texture_file, solid_texture
+
+# Pad face count to a multiple of this so tiles map cleanly onto the VPU/MXU.
+FACE_PAD = 128
+
+
+def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+@dataclass
+class SceneData:
+    """Device-resident scene (a pytree of jnp arrays).
+
+    Faces across all meshes are concatenated in pass order, so a global
+    argmin over faces reproduces the reference's sequential-pass + strict-<
+    depth compositing semantics (earlier pass wins ties; within a pass the
+    first face wins, triangle_list/compute.wgsl:198).
+    """
+
+    # --- spheres (pass order precedes meshes, src/lib.rs:1106-1184) ---
+    sphere_center: jax.Array  # (S,3) f32
+    sphere_radius: jax.Array  # (S,)  f32
+    sphere_color: jax.Array  # (S,3) f32
+    sphere_coeff: jax.Array  # (S,3) f32  [ambient, diffuse, specular]
+    sphere_light: jax.Array  # (S,3) f32  per-sphere light dir (quirk)
+
+    # --- triangle soup ---
+    tri_p0: jax.Array  # (F,3) f32
+    tri_n: jax.Array  # (F,3) f32   geometric normal (unnormalized)
+    tri_d: jax.Array  # (F,)  f32   -N.p0
+    tri_g: jax.Array  # (F,3,3) f32 g_i = N x edge_i  for i=0,1,2
+    tri_c: jax.Array  # (F,3)  f32  c_i = p_i.g_i
+    tri_inv_denom: jax.Array  # (F,) f32  1/(N.N), 0 for padding faces
+    tri_uv: jax.Array  # (F,3,2) f32 per-corner uvs
+    tri_vn: jax.Array  # (F,3,3) f32 per-corner shading normals (normal ext)
+    tri_mat: jax.Array  # (F,) i32 material id
+    tri_valid: jax.Array  # (F,) f32 1.0 for real faces, 0.0 for padding
+
+    # --- materials ---
+    mat_ambient: jax.Array  # (M,3) f32
+    mat_specular: jax.Array  # (M,3) f32
+    mat_diffuse: jax.Array  # (M,3) f32 (Kd; unused by parity shading, kept)
+    mat_shininess: jax.Array  # (M,) f32 (parity shading hardcodes 32)
+    mat_light: jax.Array  # (M,3) f32 light dir for faces of this material
+    mat_tex: jax.Array  # (M,) i32 diffuse texture index
+
+    # --- textures (stacked, padded to common size) ---
+    textures: jax.Array  # (T, TH, TW, 3) f32 linear
+    tex_hw: jax.Array  # (T,2) i32 true (h,w) per texture
+
+    # static metadata (not traced)
+    num_faces: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_spheres: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def padded_faces(self) -> int:
+        return self.tri_p0.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    SceneData,
+    data_fields=[f.name for f in dataclasses.fields(SceneData)
+                 if not f.metadata.get("static")],
+    meta_fields=["num_faces", "num_spheres"],
+)
+
+
+def _precompute_faces(positions: np.ndarray, uvs: np.ndarray, normals: np.ndarray,
+                      faces: np.ndarray):
+    """Per-face edge-plane precompute (see module docstring)."""
+    p0 = positions[faces[:, 0]]
+    p1 = positions[faces[:, 1]]
+    p2 = positions[faces[:, 2]]
+    e0 = p1 - p0
+    e1 = p2 - p1
+    e2 = p0 - p2
+    n = np.cross(e0, p2 - p0)
+    denom = np.einsum("fi,fi->f", n, n)
+    d = -np.einsum("fi,fi->f", n, p0)
+    g0 = np.cross(n, e0)
+    g1 = np.cross(n, e1)
+    g2 = np.cross(n, e2)
+    c0 = np.einsum("fi,fi->f", p0, g0)
+    c1 = np.einsum("fi,fi->f", p1, g1)
+    c2 = np.einsum("fi,fi->f", p2, g2)
+    with np.errstate(divide="ignore"):
+        inv_denom = np.where(denom > 0, 1.0 / np.maximum(denom, 1e-30), 0.0)
+    uv3 = uvs[faces]  # (F,3,2)
+    vn3 = normals[faces]  # (F,3,3)
+    g = np.stack([g0, g1, g2], axis=1)  # (F,3,3)
+    c = np.stack([c0, c1, c2], axis=1)  # (F,3)
+    return p0, n, d, g, c, inv_denom.astype(np.float32), uv3, vn3
+
+
+@dataclass
+class Scene:
+    """Host-side scene: config + loaded assets + the device SceneData."""
+
+    config: SceneConfig
+    data: SceneData
+    mesh_names: List[str]
+
+    @staticmethod
+    def build(config: SceneConfig) -> "Scene":
+        import jax.numpy as jnp
+
+        # ---- spheres ----
+        spheres = config.spheres
+        s_center = np.array([s.center for s in spheres], dtype=np.float32).reshape(-1, 3)
+        s_radius = np.array([s.radius for s in spheres], dtype=np.float32)
+        s_color = np.array([s.color for s in spheres], dtype=np.float32).reshape(-1, 3)
+        s_coeff = np.array([[s.ambient, s.diffuse, s.specular] for s in spheres],
+                           dtype=np.float32).reshape(-1, 3)
+        s_light = np.array([s.light_direction for s in spheres],
+                           dtype=np.float32).reshape(-1, 3)
+
+        # ---- meshes -> one soup ----
+        all_pos: List[np.ndarray] = []
+        all_uv: List[np.ndarray] = []
+        all_nrm: List[np.ndarray] = []
+        all_faces: List[np.ndarray] = []
+        all_face_mat: List[np.ndarray] = []
+        mesh_names: List[str] = []
+        materials: List[ObjMaterial] = []
+        mat_light: List[Tuple[float, float, float]] = []
+        vert_off = 0
+
+        for mesh_cfg in config.meshes:
+            path = resolve_asset(mesh_cfg.obj_path)
+            meshes, mats = load_obj(path)
+            mat_off = len(materials)
+            materials.extend(mats)
+            mat_light.extend([mesh_cfg.light_direction] * len(mats))
+            for m in meshes:
+                pos = m.positions * np.float32(mesh_cfg.scale) + np.asarray(
+                    mesh_cfg.translation, dtype=np.float32)
+                all_pos.append(pos)
+                all_uv.append(m.uvs)
+                all_nrm.append(m.normals)
+                all_faces.append(m.faces + vert_off)
+                all_face_mat.append(
+                    np.full((m.faces.shape[0],), mat_off + m.material_id, dtype=np.int32))
+                vert_off += pos.shape[0]
+                mesh_names.append(m.name)
+
+        if all_pos:
+            positions = np.concatenate(all_pos, axis=0).astype(np.float32)
+            uvs = np.concatenate(all_uv, axis=0).astype(np.float32)
+            normals = np.concatenate(all_nrm, axis=0).astype(np.float32)
+            faces = np.concatenate(all_faces, axis=0).astype(np.int32)
+            face_mat = np.concatenate(all_face_mat, axis=0)
+        else:
+            positions = np.zeros((3, 3), np.float32)
+            uvs = np.zeros((3, 2), np.float32)
+            normals = np.zeros((3, 3), np.float32)
+            faces = np.zeros((0, 3), np.int32)
+            face_mat = np.zeros((0,), np.int32)
+
+        if not materials:
+            materials = [ObjMaterial(name="default")]
+            mat_light = [(1.0, -1.0, -5.0)]
+
+        num_faces = faces.shape[0]
+        padded = max(FACE_PAD, -(-max(num_faces, 1) // FACE_PAD) * FACE_PAD)
+
+        if num_faces:
+            p0, n, d, g, c, inv_denom, uv3, vn3 = _precompute_faces(
+                positions, uvs, normals, faces)
+        else:
+            p0 = np.zeros((0, 3), np.float32)
+            n = np.zeros((0, 3), np.float32)
+            d = np.zeros((0,), np.float32)
+            g = np.zeros((0, 3, 3), np.float32)
+            c = np.zeros((0, 3), np.float32)
+            inv_denom = np.zeros((0,), np.float32)
+            uv3 = np.zeros((0, 3, 2), np.float32)
+            vn3 = np.zeros((0, 3, 3), np.float32)
+
+        # ---- textures ----
+        textures: List[TextureData] = []
+        mat_tex: List[int] = []
+        for mat in materials:
+            if mat.map_kd:
+                tex = load_texture_file(resolve_asset(mat.map_kd))
+            else:
+                tex = solid_texture((1.0, 1.0, 1.0))
+            mat_tex.append(len(textures))
+            textures.append(tex)
+        th = max(t.height for t in textures)
+        tw = max(t.width for t in textures)
+        tex_stack = np.zeros((len(textures), th, tw, 3), np.float32)
+        tex_hw = np.zeros((len(textures), 2), np.int32)
+        for i, t in enumerate(textures):
+            tex_stack[i, : t.height, : t.width] = t.rgb_linear
+            tex_hw[i] = (t.height, t.width)
+
+        data = SceneData(
+            sphere_center=jnp.asarray(s_center),
+            sphere_radius=jnp.asarray(s_radius),
+            sphere_color=jnp.asarray(s_color),
+            sphere_coeff=jnp.asarray(s_coeff),
+            sphere_light=jnp.asarray(s_light),
+            tri_p0=jnp.asarray(_pad_rows(p0.astype(np.float32), padded)),
+            tri_n=jnp.asarray(_pad_rows(n.astype(np.float32), padded)),
+            tri_d=jnp.asarray(_pad_rows(d.astype(np.float32), padded)),
+            tri_g=jnp.asarray(_pad_rows(g.astype(np.float32), padded)),
+            tri_c=jnp.asarray(_pad_rows(c.astype(np.float32), padded)),
+            tri_inv_denom=jnp.asarray(_pad_rows(inv_denom, padded)),
+            tri_uv=jnp.asarray(_pad_rows(uv3.astype(np.float32), padded)),
+            tri_vn=jnp.asarray(_pad_rows(vn3.astype(np.float32), padded)),
+            tri_mat=jnp.asarray(_pad_rows(face_mat, padded)),
+            tri_valid=jnp.asarray(
+                _pad_rows(np.ones((num_faces,), np.float32), padded)),
+            mat_ambient=jnp.asarray(
+                np.array([m.ambient for m in materials], np.float32)),
+            mat_specular=jnp.asarray(
+                np.array([m.specular for m in materials], np.float32)),
+            mat_diffuse=jnp.asarray(
+                np.array([m.diffuse for m in materials], np.float32)),
+            mat_shininess=jnp.asarray(
+                np.array([m.shininess for m in materials], np.float32)),
+            mat_light=jnp.asarray(np.array(mat_light, np.float32).reshape(-1, 3)),
+            mat_tex=jnp.asarray(np.array(mat_tex, np.int32)),
+            textures=jnp.asarray(tex_stack),
+            tex_hw=jnp.asarray(tex_hw),
+            num_faces=num_faces,
+            num_spheres=len(spheres),
+        )
+        return Scene(config=config, data=data, mesh_names=mesh_names)

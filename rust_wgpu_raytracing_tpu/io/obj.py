@@ -1,0 +1,207 @@
+"""OBJ/MTL importer to flat SoA arrays.
+
+The TPU-native analogue of the reference's asset pipeline
+(src/resources.rs:163-264): where the reference parses OBJ with tobj
+(`triangulate: true, single_index: true`, resources.rs:175-179) and uploads
+GPU-padded ModelVertexSmall/ModelFaceSmall storage buffers
+(src/model.rs:45-79), we parse to flat NumPy arrays — positions (V,3) f32,
+uvs (V,2) f32, faces (F,3) i32 — which become device-resident `jnp` arrays
+with no layout padding (XLA owns layout).
+
+Semantics matched to tobj:
+- polygons are fan-triangulated (v0, vi, vi+1);
+- `single_index`: each distinct (v, vt, vn) index triple becomes one output
+  vertex, numbered in order of first appearance — so vertex/face counts
+  match what the reference's GPU buffers contain;
+- OBJ indices are 1-based; negative indices are relative to the current end
+  of the respective array;
+- missing vt/vn are filled with zeros (tobj fills missing texcoords with 0).
+
+A native C++ fast-path parser lives in native/objparse.cpp and is used
+automatically for large files when built; this module is the reference
+implementation and fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class ObjMaterial:
+    """MTL material — superset of the reference's Material
+    (src/model.rs:108-115: name, diffuse texture, ambient/diffuse/specular).
+    `map_bump` is parsed for the normal-mapping extension (the reference
+    ships cube-normal.png but never samples it)."""
+
+    name: str = ""
+    ambient: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # Ka
+    diffuse: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # Kd
+    specular: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # Ks
+    shininess: float = 0.0  # Ns
+    map_kd: Optional[str] = None
+    map_bump: Optional[str] = None
+
+
+@dataclass
+class ObjMesh:
+    """One OBJ object/group after single-index re-indexing."""
+
+    name: str
+    positions: np.ndarray  # (V,3) f32
+    uvs: np.ndarray  # (V,2) f32
+    normals: np.ndarray  # (V,3) f32
+    faces: np.ndarray  # (F,3) i32
+    material_id: int = 0
+
+
+def parse_mtl(path: str) -> List[ObjMaterial]:
+    materials: List[ObjMaterial] = []
+    cur: Optional[ObjMaterial] = None
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            key = parts[0]
+            if key == "newmtl":
+                cur = ObjMaterial(name=parts[1] if len(parts) > 1 else "")
+                materials.append(cur)
+            elif cur is None:
+                continue
+            elif key == "Ka":
+                cur.ambient = tuple(float(x) for x in parts[1:4])
+            elif key == "Kd":
+                cur.diffuse = tuple(float(x) for x in parts[1:4])
+            elif key == "Ks":
+                cur.specular = tuple(float(x) for x in parts[1:4])
+            elif key == "Ns":
+                cur.shininess = float(parts[1])
+            elif key == "map_Kd":
+                cur.map_kd = parts[-1]
+            elif key in ("map_Bump", "map_bump", "bump"):
+                cur.map_bump = parts[-1]
+    return materials
+
+
+def _parse_index(token: str, length: int) -> int:
+    i = int(token)
+    return i - 1 if i > 0 else length + i
+
+
+def load_obj(path: str) -> Tuple[List[ObjMesh], List[ObjMaterial]]:
+    """Parse an OBJ file (+ its mtllib) into single-indexed SoA meshes."""
+    positions: List[Tuple[float, float, float]] = []
+    uvs: List[Tuple[float, float]] = []
+    normals: List[Tuple[float, float, float]] = []
+    materials: List[ObjMaterial] = []
+    mat_ids: Dict[str, int] = {}
+
+    meshes: List[ObjMesh] = []
+
+    # per-mesh accumulation state
+    name = "default"
+    cur_mat = 0
+    remap: Dict[Tuple[int, int, int], int] = {}
+    out_pos: List = []
+    out_uv: List = []
+    out_nrm: List = []
+    out_faces: List[Tuple[int, int, int]] = []
+
+    def flush():
+        nonlocal remap, out_pos, out_uv, out_nrm, out_faces
+        if out_faces:
+            meshes.append(ObjMesh(
+                name=name,
+                positions=np.asarray(out_pos, dtype=np.float32).reshape(-1, 3),
+                uvs=np.asarray(out_uv, dtype=np.float32).reshape(-1, 2),
+                normals=np.asarray(out_nrm, dtype=np.float32).reshape(-1, 3),
+                faces=np.asarray(out_faces, dtype=np.int32).reshape(-1, 3),
+                material_id=cur_mat,
+            ))
+        remap, out_pos, out_uv, out_nrm, out_faces = {}, [], [], [], []
+
+    def corner(token: str) -> int:
+        comps = token.split("/")
+        vi = _parse_index(comps[0], len(positions))
+        ti = _parse_index(comps[1], len(uvs)) if len(comps) > 1 and comps[1] else -1
+        ni = _parse_index(comps[2], len(normals)) if len(comps) > 2 and comps[2] else -1
+        key = (vi, ti, ni)
+        idx = remap.get(key)
+        if idx is None:
+            idx = len(out_pos)
+            remap[key] = idx
+            out_pos.append(positions[vi])
+            out_uv.append(uvs[ti] if ti >= 0 else (0.0, 0.0))
+            out_nrm.append(normals[ni] if ni >= 0 else (0.0, 0.0, 0.0))
+        return idx
+
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            key = parts[0]
+            if key == "v":
+                positions.append(tuple(float(x) for x in parts[1:4]))
+            elif key == "vt":
+                uvs.append(tuple(float(x) for x in parts[1:3]))
+            elif key == "vn":
+                normals.append(tuple(float(x) for x in parts[1:4]))
+            elif key == "f":
+                corners = [corner(t) for t in parts[1:]]
+                for i in range(1, len(corners) - 1):  # fan triangulation
+                    out_faces.append((corners[0], corners[i], corners[i + 1]))
+            elif key in ("o", "g"):
+                flush()
+                name = parts[1] if len(parts) > 1 else "default"
+            elif key == "usemtl":
+                mat_name = parts[1] if len(parts) > 1 else ""
+                cur_mat = mat_ids.get(mat_name, 0)
+            elif key == "mtllib":
+                mtl_path = os.path.join(os.path.dirname(path), " ".join(parts[1:]))
+                if os.path.exists(mtl_path):
+                    materials = parse_mtl(mtl_path)
+                    mat_ids = {m.name: i for i, m in enumerate(materials)}
+    flush()
+
+    if not materials:
+        materials = [ObjMaterial(name="default", ambient=(0.01,) * 3,
+                                 diffuse=(0.8,) * 3, specular=(0.17,) * 3)]
+    return meshes, materials
+
+
+def make_cube(size: float = 1.0) -> ObjMesh:
+    """Procedural unit cube with per-face UVs — a standalone test asset so
+    the framework's tests do not depend on external files."""
+    s = size / 2.0
+    # 6 faces x 4 corners, standard box
+    face_defs = [
+        # normal, corners (ccw seen from outside)
+        ((0, 0, 1), [(-s, -s, s), (s, -s, s), (s, s, s), (-s, s, s)]),
+        ((0, 0, -1), [(s, -s, -s), (-s, -s, -s), (-s, s, -s), (s, s, -s)]),
+        ((1, 0, 0), [(s, -s, s), (s, -s, -s), (s, s, -s), (s, s, s)]),
+        ((-1, 0, 0), [(-s, -s, -s), (-s, -s, s), (-s, s, s), (-s, s, -s)]),
+        ((0, 1, 0), [(-s, s, s), (s, s, s), (s, s, -s), (-s, s, -s)]),
+        ((0, -1, 0), [(-s, -s, -s), (s, -s, -s), (s, -s, s), (-s, -s, s)]),
+    ]
+    uv4 = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    pos, uv, nrm, faces = [], [], [], []
+    for n, corners in face_defs:
+        base = len(pos)
+        pos.extend(corners)
+        uv.extend(uv4)
+        nrm.extend([n] * 4)
+        faces.append((base, base + 1, base + 2))
+        faces.append((base, base + 2, base + 3))
+    return ObjMesh(
+        name="cube",
+        positions=np.asarray(pos, dtype=np.float32),
+        uvs=np.asarray(uv, dtype=np.float32),
+        normals=np.asarray(nrm, dtype=np.float32),
+        faces=np.asarray(faces, dtype=np.int32),
+    )

@@ -1,0 +1,131 @@
+"""Renderer: the TPU-native analogue of the reference's `State`
+(src/lib.rs:223-257).
+
+Where `State` owns the wgpu device, swapchain, bind groups and pipelines
+and re-records a command encoder every frame (src/lib.rs:1012-1230), the
+Renderer owns the device-resident SceneData and ONE jitted frame function;
+per-frame host->device traffic is a single (35,) f32 camera vector (the
+analogue of the two queue.write_buffer calls at src/lib.rs:999-1009), and
+the framebuffer stays on device until presented.
+
+update()/render()/resize() mirror State::update/render/resize
+(src/lib.rs:994,1012,772). The reference's resize has an aspect-lag bug
+(reads the OLD size when updating camera.aspect, src/lib.rs:774-777); we
+fix it — divergence documented here and in tests.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..config import SceneConfig
+from ..core.camera import Camera, CameraUniforms
+from ..core.controls import CircleCameraController
+from ..core.scene import Scene
+from ..io.image_out import framebuffer_to_image, write_png
+
+
+class Renderer:
+    def __init__(self, config: SceneConfig, backend: str = "auto"):
+        self.config = config
+        self.scene = Scene.build(config)
+        self.camera = Camera.from_config(
+            config.camera, aspect=config.render.width / config.render.height)
+        self.controller = CircleCameraController(speed=0.2)
+        self.backend = self._pick_backend(backend)
+        self.width = config.render.width
+        self.height = config.render.height
+        self._frame_fn = None
+        self._build_frame_fn()
+        # perf counters (metrics subsystem the reference lacks; SURVEY §5.5)
+        self.frame_count = 0
+        self.last_frame_ms = float("nan")
+
+    @staticmethod
+    def _pick_backend(backend: str) -> str:
+        if backend != "auto":
+            return backend
+        platform = jax.default_backend()
+        return "megakernel" if platform == "tpu" else "oracle"
+
+    # ------------------------------------------------------------------
+    def _build_frame_fn(self):
+        rc = self.config.render
+        kwargs = dict(
+            width=self.width,
+            height=self.height,
+            near=rc.kernel_near,
+            far=rc.kernel_far,
+            background=tuple(self.config.background),
+            shadows=rc.shadows,
+            quantize=rc.quantize_rgba8,
+        )
+        if self.backend == "oracle":
+            from ..ops.oracle import render_oracle
+
+            self._frame_fn = lambda scene, uni: render_oracle(scene, uni, **kwargs)
+        elif self.backend == "megakernel":
+            from ..ops.megakernel import render_megakernel
+
+            self._frame_fn = lambda scene, uni: render_megakernel(
+                scene, uni, accel=rc.accel, **kwargs)
+        else:
+            raise ValueError(f"unknown backend {self.backend!r}")
+
+    # --- State::update (src/lib.rs:994-1010) ---
+    def update(self):
+        self.controller.update_camera(self.camera)
+
+    # --- State::render (src/lib.rs:1012-1230) ---
+    def render(self, block: bool = False):
+        """Returns the device-resident (color, depth) arrays."""
+        t0 = time.perf_counter()
+        uni = self.camera.uniforms().flat()
+        color, depth = self._frame_fn(self.scene.data, uni)
+        if block:
+            color.block_until_ready()
+        self.last_frame_ms = (time.perf_counter() - t0) * 1e3
+        self.frame_count += 1
+        self._last = (color, depth)
+        return color, depth
+
+    # --- State::resize (src/lib.rs:772-989) ---
+    def resize(self, width: int, height: int):
+        if width <= 0 or height <= 0:
+            return  # the reference also ignores degenerate sizes
+        self.width, self.height = width, height
+        # Fix of the reference's aspect-lag bug: use the NEW size.
+        self.camera.aspect = width / height
+        self._rc_replace(width=width, height=height)
+        self._build_frame_fn()
+
+    def _rc_replace(self, **kw):
+        import dataclasses as dc
+
+        self.config = dc.replace(
+            self.config, render=dc.replace(self.config.render, **kw))
+
+    # --- presentation (screenquad.wgsl analogue) ---
+    def present_image(self, srgb: bool = True) -> np.ndarray:
+        color, _ = getattr(self, "_last", (None, None))
+        if color is None:
+            color, _ = self.render()
+        return framebuffer_to_image(jax.device_get(color), srgb=srgb)
+
+    def save_png(self, path: str, srgb: bool = True):
+        color, _ = getattr(self, "_last", (None, None))
+        if color is None:
+            color, _ = self.render()
+        write_png(path, jax.device_get(color), srgb=srgb)
+
+    # --- metrics ---
+    @property
+    def mrays_per_s(self) -> float:
+        if not np.isfinite(self.last_frame_ms):
+            return float("nan")
+        return (self.width * self.height) / (self.last_frame_ms * 1e-3) / 1e6

@@ -1,0 +1,17 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths are
+exercised without a TPU pod (SURVEY §4: the TPU analogue of a fake
+distributed backend). Must run before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
