@@ -1,0 +1,690 @@
+"""Pallas TPU intersection kernels + the fused planar frame function.
+
+TPU-native re-design of the reference's per-pixel WGSL kernels
+(src/models/*/compute.wgsl): instead of one GPU thread per pixel looping
+over faces (triangle_list/compute.wgsl:190-202, dispatched as W*H
+workgroups of size 1, src/lib.rs:1183), rays ride the 128-wide LANE axis
+and faces ride the SUBLANE axis; every (face, ray) pair in a
+(BLOCK_F, TILE_R) tile is evaluated with broadcast FMAs on the VPU.
+
+Measured-on-hardware design rules baked in here (TPU v5e, JAX 0.9):
+- XLA per-ray gathers cost ~10-25 ns/element regardless of table size,
+  i.e. ~20-50 ms/frame at 1080p PER GATHER — so the kernel resolves ALL
+  per-face attributes in-register via winner-masked reductions ("picks")
+  and the frame does exactly ONE gather: the texture fetch;
+- u8 gather payloads are ~4x cheaper than f32 — the texture gather reads
+  a 12-byte packed 2x2 sRGB neighborhood per ray (SceneData.tex_packed)
+  so bilinear filtering needs a single gather (~5 ms at 1080p);
+- the whole frame is ONE jit: dispatches cost ~3 ms each on this
+  backend, and `block_until_ready` does not truly synchronize — timing
+  must be amortized over pipelined dispatches (see runtime/profiler.py);
+- everything per-ray is PLANAR (separate (R,) arrays per component):
+  arrays with tiny trailing dims (R,3)/(R,6) get lane-padded to 128 on
+  TPU and relayouts show up as tens of ms.
+
+The derivation of the affine per-face intersection form is in
+core/scene.py; numerical semantics match ops/intersect.py (the oracle),
+which these kernels are tested against (u8-exact framebuffers).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.camera import CameraUniforms
+from ..core.scene import SceneData
+from .composite import to_nonlinear_depth
+from .intersect import HI, K_EPSILON, TriHit
+from .raygen import ndc_grid
+
+INT_MISS = 2**31 - 1  # python scalars only: traced constants cannot be
+F32_INF = float("inf")  # captured inside a pallas kernel body
+
+# rays per tile (lanes) x faces per block (sublanes); intermediates are
+# (BLOCK_F, TILE_R) f32 = 512 KB each at the defaults. 1D VMEM blocks
+# must be multiples of 1024 (8 sublanes x 128 lanes) to match XLA's
+# T(1024) tiling for f32[N] operands.
+TILE_R = 1024
+BLOCK_F = 128
+
+# fpack column layout (per face), see pack_face_columns()
+_C_N = 0  # 0-2   N (unnormalized geometric normal)
+_C_G0 = 3  # 3-11  g_i = N x edge_i
+_C_INVD = 12  # 1/(N.N)
+_C_UN = 13  # 13-15 unit normal
+_C_UV = 16  # 16-21 uv corners (u0,v0,u1,v1,u2,v2)
+_C_MAT = 22  # material id (exact small int in f32)
+_C_PAD = 23
+FPACK_COLS = 24
+
+
+class GBuffer(NamedTuple):
+    """Planar per-ray intersection + shading inputs, all (R,) f32/i32."""
+
+    t: jax.Array
+    face: jax.Array  # i32, INT_MISS-free (0 on miss)
+    u: jax.Array  # normalized barycentric (corner 0 weight)
+    v: jax.Array
+    nd: jax.Array  # N.D at winner (sign decides normal flip)
+    uvx: jax.Array  # interpolated texture coords (pre-V-flip)
+    uvy: jax.Array
+    nx: jax.Array  # unit geometric normal, NOT yet flipped
+    ny: jax.Array
+    nz: jax.Array
+    mat: jax.Array  # material id as f32
+
+
+def pack_face_columns(scene: SceneData) -> jnp.ndarray:
+    """(F, FPACK_COLS) f32 per-face static pack (see column constants)."""
+    f = scene.tri_p0.shape[0]
+    n = scene.tri_n
+    nlen = jnp.sqrt(jnp.sum(n * n, axis=1, keepdims=True))
+    un = jnp.where(nlen > 0, n / jnp.where(nlen > 0, nlen, 1.0), 0.0)
+    cols = [
+        n,  # 0-2
+        scene.tri_g.reshape(f, 9),  # 3-11
+        scene.tri_inv_denom[:, None],  # 12
+        un,  # 13-15
+        scene.tri_uv.reshape(f, 6),  # 16-21
+        scene.tri_mat.astype(jnp.float32)[:, None],  # 22
+        jnp.zeros((f, 1), jnp.float32),  # 23
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def pack_origin_cols(scene: SceneData, origin) -> jnp.ndarray:
+    """(F, 8) f32 per-frame origin terms for shared-origin rays:
+    cols [t_num, hc0, hc1, hc2, 0...] with t_num = -(N.O + d),
+    hc_i = O.g_i - c_i."""
+    o = jnp.asarray(origin, jnp.float32)
+    t_num = -(jnp.matmul(scene.tri_n, o, precision=HI) + scene.tri_d)
+    hc = jnp.einsum("fij,j->fi", scene.tri_g, o, precision=HI) - scene.tri_c
+    f = t_num.shape[0]
+    return jnp.concatenate(
+        [t_num[:, None], hc, jnp.zeros((f, 4), jnp.float32)], axis=1)
+
+
+def _col(ref, k):
+    return ref[:, k:k + 1]  # (BLOCK_F, 1)
+
+
+def _row1(ref):
+    return ref[:].reshape(1, -1)  # 1D (TILE_R,) block -> (1, TILE_R)
+
+
+def _closest_hit_kernel(dx_ref, dy_ref, dz_ref, fpack_ref, oterm_ref,
+                        t_ref, face_ref, u_ref, v_ref, nd_ref,
+                        uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref):
+    """One (ray_tile, face_block) grid step: intersect + winner picks.
+
+    Rays on lanes ((1, TILE_R) rows), faces on sublanes ((BLOCK_F, 1)
+    columns). Padding faces have N == 0 and fail |N.D| >= eps by
+    construction (matches the reference's parallel reject,
+    triangle_list/compute.wgsl:93-96). Outputs are 1D (TILE_R,) blocks
+    accumulated across face blocks; face indices ascend with the block
+    index, so a strict < merge preserves the reference's first-face-wins
+    tie rule (triangle_list/compute.wgsl:198).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        t_ref[:] = jnp.full_like(t_ref, F32_INF)
+        face_ref[:] = jnp.full_like(face_ref, INT_MISS)
+        for r in (u_ref, v_ref, nd_ref, uvx_ref, uvy_ref, nx_ref, ny_ref,
+                  nz_ref, mat_ref):
+            r[:] = jnp.zeros_like(r)
+
+    dx = _row1(dx_ref)  # (1, TILE_R)
+    dy = _row1(dy_ref)
+    dz = _row1(dz_ref)
+    g = fpack_ref
+    o = oterm_ref
+
+    ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
+    t = _col(o, 0) / ndotd
+    h0 = _col(o, 1) + t * (_col(g, 3) * dx + _col(g, 4) * dy + _col(g, 5) * dz)
+    h1 = _col(o, 2) + t * (_col(g, 6) * dx + _col(g, 7) * dy + _col(g, 8) * dz)
+    h2 = _col(o, 3) + t * (_col(g, 9) * dx + _col(g, 10) * dy + _col(g, 11) * dz)
+
+    valid = (
+        (jnp.abs(ndotd) >= K_EPSILON)
+        & (t >= 0.0)
+        & (h0 >= 0.0)
+        & (h1 >= 0.0)
+        & (h2 >= 0.0)
+    )
+    tm = jnp.where(valid, t, F32_INF)
+
+    # block-local winner (min t; smallest face index on exact ties)
+    block_f = tm.shape[0]
+    tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, TILE_R)
+    face_ids = (jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+                + j * block_f)
+    idx_blk = jnp.min(
+        jnp.where(tm == tmin, face_ids, INT_MISS), axis=0, keepdims=True)
+    win = face_ids == idx_blk  # at most one True per column
+
+    def pick(m):
+        # winner-masked reduction over faces -> (1, TILE_R). MUST be a
+        # select, not win*m: padding faces carry NaN (0/0 plane math)
+        # and 0*NaN would poison the sum.
+        return jnp.sum(jnp.where(win, m, 0.0), axis=0, keepdims=True)
+
+    invd = _col(g, _C_INVD)
+    u_n = h1 * invd
+    v_n = h2 * invd
+    w_n = 1.0 - u_n - v_n
+    uvx_m = (u_n * _col(g, _C_UV) + v_n * _col(g, _C_UV + 2)
+             + w_n * _col(g, _C_UV + 4))
+    uvy_m = (u_n * _col(g, _C_UV + 1) + v_n * _col(g, _C_UV + 3)
+             + w_n * _col(g, _C_UV + 5))
+
+    u_blk = pick(u_n)
+    v_blk = pick(v_n)
+    nd_blk = pick(ndotd)
+    uvx_blk = pick(uvx_m)
+    uvy_blk = pick(uvy_m)
+    nx_blk = pick(jnp.broadcast_to(_col(g, _C_UN), tm.shape))
+    ny_blk = pick(jnp.broadcast_to(_col(g, _C_UN + 1), tm.shape))
+    nz_blk = pick(jnp.broadcast_to(_col(g, _C_UN + 2), tm.shape))
+    mat_blk = pick(jnp.broadcast_to(_col(g, _C_MAT), tm.shape))
+
+    better = (tmin < _row1(t_ref)).reshape(-1)  # (TILE_R,)
+
+    def merge(ref, new):
+        ref[:] = jnp.where(better, new.reshape(-1), ref[:])
+
+    merge(t_ref, tmin)
+    merge(face_ref, idx_blk)
+    merge(u_ref, u_blk)
+    merge(v_ref, v_blk)
+    merge(nd_ref, nd_blk)
+    merge(uvx_ref, uvx_blk)
+    merge(uvy_ref, uvy_blk)
+    merge(nx_ref, nx_blk)
+    merge(ny_ref, ny_blk)
+    merge(nz_ref, nz_blk)
+    merge(mat_ref, mat_blk)
+
+
+def _anyhit_kernel(dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
+                   act_ref, fpack_ref, dc_ref, occ_ref):
+    """Shadow any-hit with PER-RAY origins (planar). act_ref masks rays
+    that need testing (inactive rays stay unoccluded). dc_ref (F, 8):
+    cols [d, c0, c1, c2, 0...]. occ_ref (TILE_R,) accumulates 0/1."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        occ_ref[:] = jnp.zeros_like(occ_ref)
+
+    dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
+    ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
+    g = fpack_ref
+
+    ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
+    ndoto = _col(g, 0) * ox + _col(g, 1) * oy + _col(g, 2) * oz
+    t = -(ndoto + _col(dc_ref, 0)) / ndotd
+
+    def edge(k, c):
+        og = (_col(g, k) * ox + _col(g, k + 1) * oy + _col(g, k + 2) * oz
+              - _col(dc_ref, c))
+        dg = _col(g, k) * dx + _col(g, k + 1) * dy + _col(g, k + 2) * dz
+        return og + t * dg
+
+    h0 = edge(3, 1)
+    h1 = edge(6, 2)
+    h2 = edge(9, 3)
+
+    hit = (
+        (jnp.abs(ndotd) >= K_EPSILON)
+        & (t >= 1e-3)
+        & (h0 >= 0.0)
+        & (h1 >= 0.0)
+        & (h2 >= 0.0)
+    )
+    any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0) * act_ref[:]
+    occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
+
+
+def _pad1(x, tile, fill=0.0):
+    pad = (-x.shape[0]) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
+def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
+                   tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                   interpret: bool = False) -> GBuffer:
+    """Closest-hit G-buffer for shared-origin planar rays dx/dy/dz (R,)."""
+    nrays = dx.shape[0]
+    dx = _pad1(dx, tile_r)
+    dy = _pad1(dy, tile_r)
+    dz = _pad1(dz, tile_r)
+    r = dx.shape[0]
+
+    f = scene.tri_p0.shape[0]
+    block_f = min(block_f, f)
+    assert f % block_f == 0, (f, block_f)
+
+    fpack = pack_face_columns(scene)
+    oterm = pack_origin_cols(scene, origin)
+
+    grid = (r // tile_r, f // block_f)
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, j: (i,),
+                            memory_space=pltpu.VMEM)
+    out_specs = [ray_spec] * 11
+    out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(11)]
+    out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
+
+    outs = pl.pallas_call(
+        _closest_hit_kernel,
+        grid=grid,
+        in_specs=[
+            ray_spec, ray_spec, ray_spec,
+            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_f, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(dx, dy, dz, fpack, oterm)
+
+    t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = [o[:nrays] for o in outs]
+    face = jnp.where(face == INT_MISS, 0, face)
+    return GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
+                   nx=nx, ny=ny, nz=nz, mat=mat)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
+def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
+                  tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                  interpret: bool = False):
+    """Planar any-hit: returns (R,) bool occlusion for per-ray origins."""
+    nrays = dx.shape[0]
+    args = [_pad1(a, tile_r) for a in (dx, dy, dz, ox, oy, oz)]
+    act = _pad1(active.astype(jnp.float32), tile_r)
+    r = args[0].shape[0]
+
+    f = scene.tri_p0.shape[0]
+    block_f = min(block_f, f)
+    assert f % block_f == 0
+
+    fpack = pack_face_columns(scene)
+    dc = jnp.concatenate(
+        [scene.tri_d[:, None], scene.tri_c,
+         jnp.zeros((f, 4), jnp.float32)], axis=1)  # (F, 8)
+
+    grid = (r // tile_r, f // block_f)
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, j: (i,),
+                            memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        _anyhit_kernel,
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [
+            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_f, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
+        interpret=interpret,
+    )(*args, act, fpack, dc)
+
+    return occ[:nrays] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Planar frame building blocks (jnp; XLA fuses them around the kernels)
+# ---------------------------------------------------------------------------
+
+
+def raygen_planar(width, height, uni: CameraUniforms):
+    """Planar pixelToRay (sphere/compute.wgsl:87-101): returns dx, dy, dz
+    (R,) f32 flat W-major (texel row 0 first), same math/order as
+    ops.raygen.ray_directions."""
+    proj_inv = jnp.asarray(uni.proj_inv_wgpu, jnp.float32)
+    view_inv = jnp.asarray(uni.view_inv, jnp.float32)
+    m = jnp.matmul(view_inv[:3, :3], proj_inv[:3, :], precision=HI)
+    const = m[:, 2] + m[:, 3]
+
+    x_nds, y_nds = ndc_grid(width, height)
+    xr = jnp.tile(x_nds, height)  # (R,) W-major
+    yr = jnp.repeat(y_nds, width)
+
+    dx = m[0, 0] * xr + m[0, 1] * yr + const[0]
+    dy = m[1, 0] * xr + m[1, 1] * yr + const[1]
+    dz = m[2, 0] * xr + m[2, 1] * yr + const[2]
+    inv_l = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return dx * inv_l, dy * inv_l, dz * inv_l
+
+
+def _norm3(x, y, z):
+    l = jnp.sqrt(x * x + y * y + z * z)
+    return x / l, y / l, z / l
+
+
+def sphere_pass_planar(scene, i, origin, dx, dy, dz):
+    """Planar sphere intersect (sphere/compute.wgsl:63-85) + normal."""
+    cx, cy, cz = (scene.sphere_center[i, 0], scene.sphere_center[i, 1],
+                  scene.sphere_center[i, 2])
+    radius = scene.sphere_radius[i]
+    ocx, ocy, ocz = origin[0] - cx, origin[1] - cy, origin[2] - cz
+    a = dx * dx + dy * dy + dz * dz
+    b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+    c = (ocx * ocx + ocy * ocy + ocz * ocz) - radius * radius
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+    t = jnp.where(t1 >= 0.0, t1, jnp.where(t2 >= 0.0, t2, F32_INF))
+    t = jnp.where(disc < 0.0, F32_INF, t)
+    hit = jnp.isfinite(t)
+    ts = jnp.where(hit, t, 0.0)
+    px, py, pz = origin[0] + dx * ts, origin[1] + dy * ts, origin[2] + dz * ts
+    nx, ny, nz = px - cx, py - cy, pz - cz
+    l = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    l = jnp.where(l > 0, l, 1.0)
+    return t, hit, nx / l, ny / l, nz / l
+
+
+def blinn_phong_planar(nx, ny, nz, dx, dy, dz, light, lit=None):
+    """Shared planar Blinn-Phong factors: returns (lambert, spec_pow32)."""
+    lx, ly, lz = _norm3(light[0], light[1], light[2])
+    lam = jnp.maximum(0.0, -(nx * lx + ny * ly + nz * lz))
+    hx, hy, hz = -lx - dx, -ly - dy, -lz - dz
+    hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+    hl = jnp.where(hl > 0, hl, 1.0)
+    hdotn = jnp.maximum(0.0, (hx * nx + hy * ny + hz * nz) / hl)
+    spec = hdotn ** 32.0
+    if lit is not None:
+        lam = jnp.where(lit, lam, 0.0)
+        spec = jnp.where(lit, spec, 0.0)
+    return lam, spec
+
+
+def srgb_to_linear_u8(b):
+    """Exact sRGB EOTF on u8-valued f32 planes (matches the oracle's
+    host-side decode in core/math3d.py)."""
+    c = b * (1.0 / 255.0)
+    return jnp.where(c <= 0.04045, c / 12.92,
+                     ((c + 0.055) / 1.055) ** 2.4)
+
+
+def sample_packed_texture(scene: SceneData, tex_id, th, tw, hw_h, hw_w,
+                          u, v):
+    """ONE u8 gather bilinear sample.
+
+    tex_id (R,) i32; hw_h/hw_w (R,) f32 true sizes; u, v (R,) f32 (v
+    already flipped). Clamp-to-edge semantics identical to the oracle's
+    sample_texture_bilinear: the packed texel at the clamped floor
+    coordinate carries its own clamped 2x2 neighborhood, and fx/fy are
+    zeroed when floor < 0 (left/top edge) so the mix degenerates to the
+    edge texel exactly like clamping both taps does.
+    """
+    x = u * hw_w - 0.5
+    y = v * hw_h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = jnp.where(x0f < 0, 0.0, x - x0f)
+    fy = jnp.where(y0f < 0, 0.0, y - y0f)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, (hw_w - 1.0).astype(jnp.int32))
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, (hw_h - 1.0).astype(jnp.int32))
+
+    flat = (tex_id * th + y0) * tw + x0  # (R,)
+    taps = scene.tex_packed[flat]  # (R, 12) u8 — THE one gather
+    taps = taps.astype(jnp.float32)
+
+    def mix(ch):
+        t00 = srgb_to_linear_u8(taps[:, ch])
+        t01 = srgb_to_linear_u8(taps[:, 3 + ch])
+        t10 = srgb_to_linear_u8(taps[:, 6 + ch])
+        t11 = srgb_to_linear_u8(taps[:, 9 + ch])
+        top = t00 * (1.0 - fx) + t01 * fx
+        bot = t10 * (1.0 - fx) + t11 * fx
+        return top * (1.0 - fy) + bot * fy
+
+    return mix(0), mix(1), mix(2)
+
+
+def _mat_const(scene: SceneData, mat_f32, getter):
+    """Resolve a per-material constant via an M-way select (no gather)."""
+    m = scene.mat_ambient.shape[0]
+    out = getter(0) * jnp.ones_like(mat_f32)
+    for k in range(1, m):
+        out = jnp.where(mat_f32 == float(k), getter(k), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The frame function
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "near", "far", "background", "shadows", "quantize",
+    "normal_mapping", "accel", "interpret"))
+def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
+                      near: float = 0.01, far: float = 100.0,
+                      background=(0.0, 0.0, 0.0), shadows: bool = False,
+                      quantize: bool = True, normal_mapping: bool = False,
+                      accel: str = "brute", interpret: bool = False):
+    """One frame, fully fused under one jit: planar raygen -> sphere
+    passes -> Pallas G-buffer -> one-gather texture shade -> composite.
+    The reference's whole render() pass DAG (src/lib.rs:1012-1230)
+    collapses into this single compiled program. Returns
+    (color (H,W,3) f32, depth (H,W) f32).
+    """
+    del accel, normal_mapping  # bvh + normal-map paths land separately
+    uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
+    origin = uni.origin
+
+    dx, dy, dz = raygen_planar(width, height, uni)
+    r = width * height
+
+    bg = jnp.asarray(background, jnp.float32)
+    cr = jnp.full((r,), bg[0])
+    cg = jnp.full((r,), bg[1])
+    cb = jnp.full((r,), bg[2])
+    depth = jnp.ones((r,), jnp.float32)
+    if shadows:
+        # winner planes for the single deferred shadow pass: ambient-only
+        # color, hit point inputs and light dir of the VISIBLE surface.
+        # (Per-pass shadowing and winner-only shadowing agree pixelwise:
+        # only the last pass that wins the depth test reaches the screen.)
+        w_ar = jnp.zeros((r,)); w_ag = jnp.zeros((r,)); w_ab = jnp.zeros((r,))
+        w_t = jnp.zeros((r,))
+        w_nx = jnp.zeros((r,)); w_ny = jnp.zeros((r,)); w_nz = jnp.zeros((r,))
+        w_lx = jnp.zeros((r,)); w_ly = jnp.zeros((r,)); w_lz = jnp.full((r,), 1.0)
+
+    def composite(state, pr, pg, pb, t, hit, extra=None):
+        cr, cg, cb, depth = state[:4]
+        d = to_nonlinear_depth(jnp.where(hit, t, 1.0), near, far)
+        write = hit & (d < depth)
+        out = [jnp.where(write, pr, cr), jnp.where(write, pg, cg),
+               jnp.where(write, pb, cb), jnp.where(write, d, depth)]
+        if extra is not None:
+            out.extend(jnp.where(write, new, old)
+                       for new, old in zip(extra, state[4:]))
+        return out, write
+
+    has_mesh = scene.num_faces > 0
+    state = [cr, cg, cb, depth]
+    if shadows:
+        state += [w_ar, w_ag, w_ab, w_t, w_nx, w_ny, w_nz, w_lx, w_ly, w_lz]
+        covered = jnp.zeros((r,), bool)
+
+    # --- sphere passes, in config order (src/lib.rs:1106-1148) ---
+    for i in range(scene.num_spheres):
+        t, hit, nx, ny, nz = sphere_pass_planar(scene, i, origin, dx, dy, dz)
+        lam, spec = blinn_phong_planar(nx, ny, nz, dx, dy, dz,
+                                       scene.sphere_light[i])
+        coeff = scene.sphere_coeff[i]
+        col = scene.sphere_color[i]
+        shade = coeff[0] + coeff[1] * lam
+        pr = col[0] * shade + coeff[2] * spec
+        pg = col[1] * shade + coeff[2] * spec
+        pb = col[2] * shade + coeff[2] * spec
+        extra = None
+        if shadows:
+            light = scene.sphere_light[i]
+            extra = [col[0] * coeff[0], col[1] * coeff[0], col[2] * coeff[0],
+                     t, nx, ny, nz,
+                     jnp.full((r,), light[0]), jnp.full((r,), light[1]),
+                     jnp.full((r,), light[2])]
+        state, write = composite(state, pr, pg, pb, t, hit, extra)
+        if shadows:
+            covered = covered | write
+
+    # --- mesh pass (Pallas G-buffer + one-gather shading) ---
+    if has_mesh:
+        gb = gbuffer_pallas(scene, origin, dx, dy, dz, interpret=interpret)
+        hit = jnp.isfinite(gb.t)
+
+        flip = gb.nd > 0.0
+        nx = jnp.where(flip, -gb.nx, gb.nx)
+        ny = jnp.where(flip, -gb.ny, gb.ny)
+        nz = jnp.where(flip, -gb.nz, gb.nz)
+
+        tex_id = _mat_const(
+            scene, gb.mat,
+            lambda k: scene.mat_tex[k].astype(jnp.float32)).astype(jnp.int32)
+        hw_h = _mat_const(
+            scene, gb.mat,
+            lambda k: scene.tex_hw[scene.mat_tex[k], 0].astype(jnp.float32))
+        hw_w = _mat_const(
+            scene, gb.mat,
+            lambda k: scene.tex_hw[scene.mat_tex[k], 1].astype(jnp.float32))
+        th = int(scene.textures.shape[1])
+        tw = int(scene.textures.shape[2])
+
+        tex_u = gb.uvx
+        tex_v = 1.0 - gb.uvy  # V-flip (triangle_list/compute.wgsl:223)
+        tr_, tg_, tb_ = sample_packed_texture(scene, tex_id, th, tw,
+                                              hw_h, hw_w, tex_u, tex_v)
+
+        # per-pixel light dir can vary by material (reference quirk:
+        # per-kernel light dirs) — resolve via M-way select
+        lightx = _mat_const(scene, gb.mat, lambda k: scene.mat_light[k, 0])
+        lighty = _mat_const(scene, gb.mat, lambda k: scene.mat_light[k, 1])
+        lightz = _mat_const(scene, gb.mat, lambda k: scene.mat_light[k, 2])
+        lam, spec = blinn_phong_planar(nx, ny, nz, dx, dy, dz,
+                                       (lightx, lighty, lightz))
+
+        amb_r = _mat_const(scene, gb.mat, lambda k: scene.mat_ambient[k, 0])
+        amb_g = _mat_const(scene, gb.mat, lambda k: scene.mat_ambient[k, 1])
+        amb_b = _mat_const(scene, gb.mat, lambda k: scene.mat_ambient[k, 2])
+        spc_r = _mat_const(scene, gb.mat, lambda k: scene.mat_specular[k, 0])
+        spc_g = _mat_const(scene, gb.mat, lambda k: scene.mat_specular[k, 1])
+        spc_b = _mat_const(scene, gb.mat, lambda k: scene.mat_specular[k, 2])
+
+        pr = amb_r + tr_ * lam + spc_r * spec
+        pg = amb_g + tg_ * lam + spc_g * spec
+        pb = amb_b + tb_ * lam + spc_b * spec
+        extra = None
+        if shadows:
+            extra = [amb_r, amb_g, amb_b, gb.t, nx, ny, nz,
+                     lightx, lighty, lightz]
+        state, write = composite(state, pr, pg, pb, gb.t, hit, extra)
+        if shadows:
+            covered = covered | write
+
+    cr, cg, cb, depth = state[:4]
+
+    # --- single deferred shadow pass for the visible surface ---
+    if shadows:
+        w_ar, w_ag, w_ab, w_t, w_nx, w_ny, w_nz, w_lx, w_ly, w_lz = state[4:]
+        ll = jnp.sqrt(w_lx * w_lx + w_ly * w_ly + w_lz * w_lz)
+        ll = jnp.where(ll > 0, ll, 1.0)
+        sdx, sdy, sdz = -w_lx / ll, -w_ly / ll, -w_lz / ll
+        ts = jnp.where(covered, w_t, 0.0)
+        px = origin[0] + dx * ts + w_nx * 1e-3
+        py = origin[1] + dy * ts + w_ny * 1e-3
+        pz = origin[2] + dz * ts + w_nz * 1e-3
+        occ = jnp.zeros((r,), bool)
+        if has_mesh:
+            occ = anyhit_pallas(scene, px, py, pz, sdx, sdy, sdz, covered,
+                                interpret=interpret)
+        occ = occ | _spheres_occlude_planar(scene, px, py, pz, sdx, sdy, sdz)
+        shadowed = covered & occ
+        cr = jnp.where(shadowed, w_ar, cr)
+        cg = jnp.where(shadowed, w_ag, cg)
+        cb = jnp.where(shadowed, w_ab, cb)
+
+    if quantize:
+        cr = jnp.floor(jnp.clip(cr, 0.0, 1.0) * 255.0 + 0.5) / 255.0
+        cg = jnp.floor(jnp.clip(cg, 0.0, 1.0) * 255.0 + 0.5) / 255.0
+        cb = jnp.floor(jnp.clip(cb, 0.0, 1.0) * 255.0 + 0.5) / 255.0
+
+    color = jnp.stack(
+        [cr.reshape(height, width), cg.reshape(height, width),
+         cb.reshape(height, width)], axis=-1)
+    return color, depth.reshape(height, width)
+
+
+def _spheres_occlude_planar(scene, px, py, pz, dx, dy, dz, t_min=1e-3):
+    occ = jnp.zeros(px.shape, bool)
+    for i in range(scene.num_spheres):
+        cx, cy, cz = (scene.sphere_center[i, 0], scene.sphere_center[i, 1],
+                      scene.sphere_center[i, 2])
+        radius = scene.sphere_radius[i]
+        ocx, ocy, ocz = px - cx, py - cy, pz - cz
+        a = dx * dx + dy * dy + dz * dz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = (ocx * ocx + ocy * ocy + ocz * ocz) - radius * radius
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        t = jnp.where(t1 >= 0.0, t1, jnp.where(t2 >= 0.0, t2, F32_INF))
+        t = jnp.where(disc < 0.0, F32_INF, t)
+        occ = occ | ((t >= t_min) & jnp.isfinite(t))
+    return occ
+
+
+# ---------------------------------------------------------------------------
+# Compatibility wrappers (tests / oracle-parity API)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
+def intersect_tris_pallas(scene: SceneData, origin, dirs, *,
+                          tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                          interpret: bool = False) -> TriHit:
+    """Drop-in for ops.intersect.intersect_tris backed by the G-buffer
+    kernel. dirs: (..., 3)."""
+    shape = dirs.shape[:-1]
+    d2 = dirs.reshape(-1, 3)
+    gb = gbuffer_pallas(scene, origin, d2[:, 0], d2[:, 1], d2[:, 2],
+                        tile_r=tile_r, block_f=block_f, interpret=interpret)
+    return TriHit(t=gb.t.reshape(shape), face=gb.face.reshape(shape),
+                  u=gb.u.reshape(shape), v=gb.v.reshape(shape),
+                  n_dot_d=gb.nd.reshape(shape))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
+def occluded_tris_pallas(scene: SceneData, origins, dirs, t_min=1e-3, *,
+                         tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                         interpret: bool = False):
+    """Drop-in for ops.intersect.occluded_tris (t_min fixed at 1e-3)."""
+    del t_min  # kernel uses the shadow epsilon 1e-3
+    shape = dirs.shape[:-1]
+    d2 = dirs.reshape(-1, 3)
+    o2 = jnp.broadcast_to(origins, dirs.shape).reshape(-1, 3)
+    act = jnp.ones((d2.shape[0],), bool)
+    occ = anyhit_pallas(scene, o2[:, 0], o2[:, 1], o2[:, 2],
+                        d2[:, 0], d2[:, 1], d2[:, 2], act,
+                        tile_r=tile_r, block_f=block_f, interpret=interpret)
+    return occ.reshape(shape)

@@ -1,0 +1,147 @@
+"""Pallas megakernel vs oracle: pixel-exact agreement (interpret mode on
+CPU; the same kernels compile for TPU)."""
+
+import dataclasses as dc
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_wgpu_raytracing_tpu.config import (CameraConfig, MeshConfig,
+                                             RenderConfig, SceneConfig,
+                                             cube_scene, reference_scene)
+from rust_wgpu_raytracing_tpu.core.camera import Camera
+from rust_wgpu_raytracing_tpu.core.scene import Scene
+from rust_wgpu_raytracing_tpu.ops import intersect as oracle_isect
+from rust_wgpu_raytracing_tpu.ops.megakernel import (intersect_tris_pallas,
+                                                     occluded_tris_pallas,
+                                                     render_megakernel)
+from rust_wgpu_raytracing_tpu.ops.oracle import render_oracle
+from rust_wgpu_raytracing_tpu.ops.raygen import ray_directions
+
+REF_RES = "/root/reference/res"
+needs_assets = pytest.mark.skipif(
+    not os.path.isdir(REF_RES), reason="reference assets not mounted")
+
+
+def make_scene(tmp_path, nfaces=5, seed=0):
+    """Random triangle cloud in front of the camera."""
+    rng = np.random.default_rng(seed)
+    verts = []
+    faces = []
+    for i in range(nfaces):
+        c = rng.uniform([-2, -2, -6], [2, 2, -2])
+        tri = c + rng.uniform(-0.8, 0.8, size=(3, 3))
+        verts.extend(tri.tolist())
+        faces.append(f"f {3*i+1}/1 {3*i+2}/2 {3*i+3}/3")
+    obj = tmp_path / "cloud.obj"
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += ["vt 0 0", "vt 1 0", "vt 0 1"] + faces
+    obj.write_text("\n".join(lines) + "\n")
+    cfg = SceneConfig(meshes=(MeshConfig(obj_path=str(obj)),),
+                      render=RenderConfig(width=16, height=16))
+    return Scene.build(cfg)
+
+
+def rand_dirs(n, seed=1):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(d)
+
+
+class TestIntersectParity:
+    def test_matches_oracle_random_rays(self, tmp_path):
+        scene = make_scene(tmp_path, nfaces=40)
+        dirs = rand_dirs(512)
+        origin = jnp.zeros(3)
+        o = oracle_isect.intersect_tris(scene.data, origin, dirs)
+        p = intersect_tris_pallas(scene.data, origin, dirs, interpret=True)
+        hit_o = np.isfinite(np.asarray(o.t))
+        hit_p = np.isfinite(np.asarray(p.t))
+        np.testing.assert_array_equal(hit_o, hit_p)
+        np.testing.assert_allclose(np.asarray(o.t)[hit_o],
+                                   np.asarray(p.t)[hit_p], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(o.face)[hit_o],
+                                      np.asarray(p.face)[hit_p])
+        np.testing.assert_allclose(np.asarray(o.u)[hit_o],
+                                   np.asarray(p.u)[hit_o], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o.v)[hit_o],
+                                   np.asarray(p.v)[hit_o], atol=1e-5)
+
+    def test_ray_padding(self, tmp_path):
+        # ray counts not divisible by the tile size
+        scene = make_scene(tmp_path, nfaces=7)
+        for n in (1, 3, 255, 257):
+            dirs = rand_dirs(n, seed=n)
+            o = oracle_isect.intersect_tris(scene.data, jnp.zeros(3), dirs)
+            p = intersect_tris_pallas(scene.data, jnp.zeros(3), dirs,
+                                      interpret=True)
+            np.testing.assert_array_equal(
+                np.isfinite(np.asarray(o.t)), np.isfinite(np.asarray(p.t)))
+
+    def test_multi_face_block(self, tmp_path):
+        # >1 face block: force block_f smaller than the face count
+        scene = make_scene(tmp_path, nfaces=100)  # padded to 128 faces
+        dirs = rand_dirs(256)
+        o = oracle_isect.intersect_tris(scene.data, jnp.zeros(3), dirs)
+        p = intersect_tris_pallas(scene.data, jnp.zeros(3), dirs,
+                                  block_f=64, interpret=True)
+        hit = np.isfinite(np.asarray(o.t))
+        np.testing.assert_array_equal(hit, np.isfinite(np.asarray(p.t)))
+        np.testing.assert_array_equal(np.asarray(o.face)[hit],
+                                      np.asarray(p.face)[hit])
+        np.testing.assert_allclose(np.asarray(o.t)[hit],
+                                   np.asarray(p.t)[hit], rtol=1e-6)
+
+    def test_anyhit_matches_oracle(self, tmp_path):
+        scene = make_scene(tmp_path, nfaces=30)
+        rng = np.random.default_rng(7)
+        origins = jnp.asarray(rng.uniform(-1, 1, size=(256, 3)).astype(np.float32))
+        dirs = rand_dirs(256, seed=8)
+        o = oracle_isect.occluded_tris(scene.data, origins, dirs, t_min=1e-3)
+        p = occluded_tris_pallas(scene.data, origins, dirs, t_min=1e-3,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(p))
+
+
+class TestRenderParity:
+    @needs_assets
+    def test_cube_frame_matches_oracle(self):
+        cfg = cube_scene(64, 64)
+        scene = Scene.build(cfg)
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = cam.uniforms().flat()
+        kw = dict(width=64, height=64)
+        co, do = render_oracle(scene.data, uni, **kw)
+        cm, dm = render_megakernel(scene.data, uni, interpret=True, **kw)
+        np.testing.assert_array_equal(np.asarray(co), np.asarray(cm))
+        np.testing.assert_allclose(np.asarray(do), np.asarray(dm), atol=1e-6)
+
+    @needs_assets
+    def test_reference_scene_matches_oracle(self):
+        cfg = reference_scene(48, 48)
+        cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
+        scene = Scene.build(cfg)
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = cam.uniforms().flat()
+        kw = dict(width=48, height=48)
+        co, do = render_oracle(scene.data, uni, **kw)
+        cm, dm = render_megakernel(scene.data, uni, interpret=True, **kw)
+        # u8-quantized framebuffers must agree to the last level
+        diff = np.abs(np.asarray(co) - np.asarray(cm)) * 255.0
+        assert diff.max() <= 1.0, f"max u8 diff {diff.max()}"
+
+    @needs_assets
+    def test_shadows_run(self):
+        cfg = reference_scene(32, 32, shadows=True)
+        cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
+        scene = Scene.build(cfg)
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = cam.uniforms().flat()
+        kw = dict(width=32, height=32, shadows=True)
+        co, _ = render_oracle(scene.data, uni, **kw)
+        cm, _ = render_megakernel(scene.data, uni, interpret=True, **kw)
+        diff = np.abs(np.asarray(co) - np.asarray(cm)) * 255.0
+        assert diff.max() <= 1.0, f"max u8 diff {diff.max()}"
