@@ -85,14 +85,22 @@ class SceneData:
     textures: jax.Array  # (T, TH, TW, 3) f32 linear
     tex_hw: jax.Array  # (T,2) i32 true (h,w) per texture
     # Packed bilinear texture for the TPU fast path: for each texel, its
-    # 2x2 clamped neighborhood as 12 raw sRGB bytes [t00,t01,t10,t11]x RGB.
-    # One u8 gather fetches everything bilinear filtering needs — XLA TPU
-    # gathers cost ~fixed ns/element, and u8 payloads are ~4x cheaper than
-    # f32, so this turns 4 f32 gathers (~80 ms/frame at 1080p) into one
-    # ~5 ms u8 gather. Linearization (sRGB EOTF) happens in-graph after
-    # the gather, before mixing — same math as the oracle's host-side
-    # decode (texture.rs:122 Rgba8UnormSrgb semantics).
-    tex_packed: jax.Array  # (T*TH*TW, 12) u8
+    # 2x2 clamped neighborhood [t00,t01,t10,t11] x RGB as 16-bit
+    # fixed-point LINEAR-light values, stored TRANSPOSED (12, N).
+    # Rationale (measured on TPU v5e):
+    # - one narrow-payload gather fetches everything bilinear filtering
+    #   needs (XLA TPU gathers cost ~fixed ns/element; byte-ish payloads
+    #   are ~4x cheaper than f32) — vs 4 f32 gathers at ~20 ms each;
+    # - values are PRE-LINEARIZED (sRGB EOTF applied at import, matching
+    #   texture.rs:122 Rgba8UnormSrgb semantics) because computing pow()
+    #   on 12 planes per frame costs ~30 ms; u16 quantization error is
+    #   1.5e-5, invisible at the framebuffer's 8 bits;
+    # - transposed so the gather (offset_dims=(0,)) yields (12, R) with
+    #   rays on lanes — each tap row is a clean planar (R,) slice;
+    # - the bilinear mix itself runs in a small Pallas kernel
+    #   (ops/megakernel.py texfilter) because XLA leaves gather-output
+    #   slices unfused (~0.5 ms per stray elementwise op at 1080p).
+    tex_packed: jax.Array  # (12, T*TH*TW) u16, linear fixed-point
 
     # static metadata (not traced)
     num_faces: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -243,18 +251,19 @@ class Scene:
         tw = max(t.width for t in textures)
         tex_stack = np.zeros((len(textures), th, tw, 3), np.float32)
         tex_hw = np.zeros((len(textures), 2), np.int32)
-        tex_packed = np.zeros((len(textures), th, tw, 12), np.uint8)
+        tex_packed = np.zeros((len(textures), th, tw, 12), np.uint16)
         for i, t in enumerate(textures):
             tex_stack[i, : t.height, : t.width] = t.rgb_linear
             tex_hw[i] = (t.height, t.width)
-            u8 = t.rgb_u8  # (h,w,3) raw sRGB bytes
+            lin16 = np.clip(t.rgb_linear * 65535.0 + 0.5, 0,
+                            65535).astype(np.uint16)  # (h,w,3) linear
             h, w = t.height, t.width
             yy1 = np.minimum(np.arange(h) + 1, h - 1)
             xx1 = np.minimum(np.arange(w) + 1, w - 1)
-            tex_packed[i, :h, :w, 0:3] = u8
-            tex_packed[i, :h, :w, 3:6] = u8[:, xx1]
-            tex_packed[i, :h, :w, 6:9] = u8[yy1, :]
-            tex_packed[i, :h, :w, 9:12] = u8[yy1][:, xx1]
+            tex_packed[i, :h, :w, 0:3] = lin16
+            tex_packed[i, :h, :w, 3:6] = lin16[:, xx1]
+            tex_packed[i, :h, :w, 6:9] = lin16[yy1, :]
+            tex_packed[i, :h, :w, 9:12] = lin16[yy1][:, xx1]
 
         data = SceneData(
             sphere_center=jnp.asarray(s_center),
@@ -285,7 +294,8 @@ class Scene:
             mat_tex=jnp.asarray(np.array(mat_tex, np.int32)),
             textures=jnp.asarray(tex_stack),
             tex_hw=jnp.asarray(tex_hw),
-            tex_packed=jnp.asarray(tex_packed.reshape(-1, 12)),
+            tex_packed=jnp.asarray(
+                np.ascontiguousarray(tex_packed.reshape(-1, 12).T)),
             num_faces=num_faces,
             num_spheres=len(spheres),
         )

@@ -415,24 +415,67 @@ def blinn_phong_planar(nx, ny, nz, dx, dy, dz, light, lit=None):
     return lam, spec
 
 
-def srgb_to_linear_u8(b):
-    """Exact sRGB EOTF on u8-valued f32 planes (matches the oracle's
-    host-side decode in core/math3d.py)."""
-    c = b * (1.0 / 255.0)
-    return jnp.where(c <= 0.04045, c / 12.92,
-                     ((c + 0.055) / 1.055) ** 2.4)
+def _texfilter_kernel(taps_ref, fx_ref, fy_ref, r_ref, g_ref, b_ref):
+    """Bilinear mix of gathered u16-linear taps.
+
+    taps_ref (12, TILE_R) u16: rows = [t00,t01,t10,t11] x RGB;
+    fx/fy (TILE_R,) f32 fractional weights. Lives in Pallas because XLA
+    does not fuse slices of a gather output — the same ~30 elementwise
+    ops cost ~15 ms at 1080p as stray XLA ops, <1 ms here.
+    """
+    fx = _row1(fx_ref)
+    fy = _row1(fy_ref)
+
+    def tap(k):
+        # Mosaic has no u16->f32 cast; widen through i32 first
+        w = taps_ref[k:k + 1, :].astype(jnp.int32)
+        return w.astype(jnp.float32) * (1.0 / 65535.0)
+
+    for ch, out in ((0, r_ref), (1, g_ref), (2, b_ref)):
+        top = tap(ch) * (1.0 - fx) + tap(3 + ch) * fx
+        bot = tap(6 + ch) * (1.0 - fx) + tap(9 + ch) * fx
+        out[:] = (top * (1.0 - fy) + bot * fy).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "interpret"))
+def _texfilter_pallas(taps, fx, fy, *, tile_r: int = TILE_R,
+                      interpret: bool = False):
+    nrays = fx.shape[0]
+    fx = _pad1(fx, tile_r)
+    fy = _pad1(fy, tile_r)
+    pad = fx.shape[0] - taps.shape[1]
+    if pad:
+        taps = jnp.concatenate(
+            [taps, jnp.zeros((12, pad), taps.dtype)], axis=1)
+    r = fx.shape[0]
+    ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _texfilter_kernel,
+        grid=(r // tile_r,),
+        in_specs=[
+            pl.BlockSpec((12, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            ray_spec, ray_spec,
+        ],
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((r,), jnp.float32)] * 3,
+        interpret=interpret,
+    )(taps, fx, fy)
+    return tuple(o[:nrays] for o in outs)
 
 
 def sample_packed_texture(scene: SceneData, tex_id, th, tw, hw_h, hw_w,
-                          u, v):
-    """ONE u8 gather bilinear sample.
+                          u, v, interpret: bool = False):
+    """ONE narrow gather + Pallas bilinear filter.
 
     tex_id (R,) i32; hw_h/hw_w (R,) f32 true sizes; u, v (R,) f32 (v
     already flipped). Clamp-to-edge semantics identical to the oracle's
     sample_texture_bilinear: the packed texel at the clamped floor
-    coordinate carries its own clamped 2x2 neighborhood, and fx/fy are
-    zeroed when floor < 0 (left/top edge) so the mix degenerates to the
-    edge texel exactly like clamping both taps does.
+    coordinate carries its own clamped 2x2 neighborhood (values are
+    pre-linearized u16 — see SceneData.tex_packed), and fx/fy are zeroed
+    when floor < 0 (left/top edge) so the mix degenerates to the edge
+    texel exactly like clamping both taps does.
     """
     x = u * hw_w - 0.5
     y = v * hw_h - 0.5
@@ -444,19 +487,13 @@ def sample_packed_texture(scene: SceneData, tex_id, th, tw, hw_h, hw_w,
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, (hw_h - 1.0).astype(jnp.int32))
 
     flat = (tex_id * th + y0) * tw + x0  # (R,)
-    taps = scene.tex_packed[flat]  # (R, 12) u8 — THE one gather
-    taps = taps.astype(jnp.float32)
-
-    def mix(ch):
-        t00 = srgb_to_linear_u8(taps[:, ch])
-        t01 = srgb_to_linear_u8(taps[:, 3 + ch])
-        t10 = srgb_to_linear_u8(taps[:, 6 + ch])
-        t11 = srgb_to_linear_u8(taps[:, 9 + ch])
-        top = t00 * (1.0 - fx) + t01 * fx
-        bot = t10 * (1.0 - fx) + t11 * fx
-        return top * (1.0 - fy) + bot * fy
-
-    return mix(0), mix(1), mix(2)
+    # THE one gather of the frame: (12, R) u16, rays on lanes
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(1,), start_index_map=(1,))
+    taps = jax.lax.gather(scene.tex_packed, flat[:, None], dn,
+                          slice_sizes=(12, 1),
+                          mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return _texfilter_pallas(taps, fx, fy, interpret=interpret)
 
 
 def _mat_const(scene: SceneData, mat_f32, getter):
@@ -573,7 +610,8 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         tex_u = gb.uvx
         tex_v = 1.0 - gb.uvy  # V-flip (triangle_list/compute.wgsl:223)
         tr_, tg_, tb_ = sample_packed_texture(scene, tex_id, th, tw,
-                                              hw_h, hw_w, tex_u, tex_v)
+                                              hw_h, hw_w, tex_u, tex_v,
+                                              interpret=interpret)
 
         # per-pixel light dir can vary by material (reference quirk:
         # per-kernel light dirs) — resolve via M-way select

@@ -131,7 +131,7 @@ class TestRenderParity:
         cm, dm = render_megakernel(scene.data, uni, interpret=True, **kw)
         # u8-quantized framebuffers must agree to the last level
         diff = np.abs(np.asarray(co) - np.asarray(cm)) * 255.0
-        assert diff.max() <= 1.0, f"max u8 diff {diff.max()}"
+        assert diff.max() <= 1.5, f"max u8 diff {diff.max()}"  # <=1 u8 level
 
     @needs_assets
     def test_shadows_run(self):
@@ -144,4 +144,4 @@ class TestRenderParity:
         co, _ = render_oracle(scene.data, uni, **kw)
         cm, _ = render_megakernel(scene.data, uni, interpret=True, **kw)
         diff = np.abs(np.asarray(co) - np.asarray(cm)) * 255.0
-        assert diff.max() <= 1.0, f"max u8 diff {diff.max()}"
+        assert diff.max() <= 1.5, f"max u8 diff {diff.max()}"  # <=1 u8 level
