@@ -35,6 +35,10 @@ from ..io.textures import TextureData, load_texture_file, solid_texture
 
 # Pad face count to a multiple of this so tiles map cleanly onto the VPU/MXU.
 FACE_PAD = 128
+# Faces per cull cluster (= the intersection kernel's face-block size):
+# faces are Morton-sorted and grouped; per-tile interval culling skips
+# whole clusters (see ops/bvh.py and ops/megakernel.py).
+CULL_BLOCK = 32
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -72,6 +76,11 @@ class SceneData:
     tri_vn: jax.Array  # (F,3,3) f32 per-corner shading normals (normal ext)
     tri_mat: jax.Array  # (F,) i32 material id
     tri_valid: jax.Array  # (F,) f32 1.0 for real faces, 0.0 for padding
+    tri_orig: jax.Array  # (F,) i32 original (pre-Morton-sort) face index
+
+    # --- acceleration (Morton clusters; ops/bvh.py) ---
+    blk_lo: jax.Array  # (F/CULL_BLOCK, 3) f32 cluster AABB min
+    blk_hi: jax.Array  # (F/CULL_BLOCK, 3) f32 cluster AABB max
 
     # --- materials ---
     mat_ambient: jax.Array  # (M,3) f32
@@ -225,8 +234,29 @@ class Scene:
         padded = max(FACE_PAD, -(-max(num_faces, 1) // FACE_PAD) * FACE_PAD)
 
         if num_faces:
+            # Morton-sort faces by centroid so fixed-size clusters are
+            # spatially compact (ops/bvh.py). Stable sort: equal codes
+            # keep buffer order. NOTE: with culling enabled the
+            # first-face-wins tie rule applies in MORTON order; exact
+            # float-equal hits of overlapping coplanar faces are the only
+            # observable difference vs the reference (none in real
+            # meshes).
+            from ..ops.bvh import cluster_aabbs, morton_order
+
+            order = morton_order(positions[faces[:, 0]],
+                                 positions[faces[:, 1]],
+                                 positions[faces[:, 2]])
+            faces = faces[order]
+            face_mat = face_mat[order]
+            orig_ids = order.astype(np.int32)
+
             p0, n, d, g, c, inv_denom, uv3, vn3 = _precompute_faces(
                 positions, uvs, normals, faces)
+            blk_lo, blk_hi = cluster_aabbs(
+                _pad_rows(positions[faces[:, 0]], padded),
+                _pad_rows(positions[faces[:, 1]], padded),
+                _pad_rows(positions[faces[:, 2]], padded),
+                CULL_BLOCK, num_faces)
         else:
             p0 = np.zeros((0, 3), np.float32)
             n = np.zeros((0, 3), np.float32)
@@ -236,6 +266,10 @@ class Scene:
             inv_denom = np.zeros((0,), np.float32)
             uv3 = np.zeros((0, 3, 2), np.float32)
             vn3 = np.zeros((0, 3, 3), np.float32)
+            orig_ids = np.zeros((0,), np.int32)
+            nb = padded // CULL_BLOCK
+            blk_lo = np.full((nb, 3), np.inf, np.float32)
+            blk_hi = np.full((nb, 3), -np.inf, np.float32)
 
         # ---- textures ----
         textures: List[TextureData] = []
@@ -282,6 +316,9 @@ class Scene:
             tri_mat=jnp.asarray(_pad_rows(face_mat, padded)),
             tri_valid=jnp.asarray(
                 _pad_rows(np.ones((num_faces,), np.float32), padded)),
+            tri_orig=jnp.asarray(_pad_rows(orig_ids, padded)),
+            blk_lo=jnp.asarray(blk_lo),
+            blk_hi=jnp.asarray(blk_hi),
             mat_ambient=jnp.asarray(
                 np.array([m.ambient for m in materials], np.float32)),
             mat_specular=jnp.asarray(

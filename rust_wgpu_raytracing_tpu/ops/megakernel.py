@@ -46,12 +46,13 @@ from .raygen import ndc_grid
 INT_MISS = 2**31 - 1  # python scalars only: traced constants cannot be
 F32_INF = float("inf")  # captured inside a pallas kernel body
 
-# rays per tile (lanes) x faces per block (sublanes); intermediates are
-# (BLOCK_F, TILE_R) f32 = 512 KB each at the defaults. 1D VMEM blocks
+# rays per tile (lanes) x faces per block (sublanes). 1D VMEM blocks
 # must be multiples of 1024 (8 sublanes x 128 lanes) to match XLA's
-# T(1024) tiling for f32[N] operands.
+# T(1024) tiling for f32[N] operands. BLOCK_F equals the scene's Morton
+# cull-cluster size so the per-(tile, cluster) activity mask maps 1:1
+# onto grid steps.
 TILE_R = 1024
-BLOCK_F = 128
+BLOCK_F = 32
 
 # fpack column layout (per face), see pack_face_columns()
 _C_N = 0  # 0-2   N (unnormalized geometric normal)
@@ -60,7 +61,7 @@ _C_INVD = 12  # 1/(N.N)
 _C_UN = 13  # 13-15 unit normal
 _C_UV = 16  # 16-21 uv corners (u0,v0,u1,v1,u2,v2)
 _C_MAT = 22  # material id (exact small int in f32)
-_C_PAD = 23
+_C_ORIG = 23  # original (pre-Morton-sort) face id, exact in f32 < 2^24
 FPACK_COLS = 24
 
 
@@ -93,7 +94,7 @@ def pack_face_columns(scene: SceneData) -> jnp.ndarray:
         un,  # 13-15
         scene.tri_uv.reshape(f, 6),  # 16-21
         scene.tri_mat.astype(jnp.float32)[:, None],  # 22
-        jnp.zeros((f, 1), jnp.float32),  # 23
+        scene.tri_orig.astype(jnp.float32)[:, None],  # 23
     ]
     return jnp.concatenate(cols, axis=1)
 
@@ -118,7 +119,8 @@ def _row1(ref):
     return ref[:].reshape(1, -1)  # 1D (TILE_R,) block -> (1, TILE_R)
 
 
-def _closest_hit_kernel(dx_ref, dy_ref, dz_ref, fpack_ref, oterm_ref,
+def _closest_hit_kernel(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
+                        oterm_ref,
                         t_ref, face_ref, u_ref, v_ref, nd_ref,
                         uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref):
     """One (ray_tile, face_block) grid step: intersect + winner picks.
@@ -127,131 +129,150 @@ def _closest_hit_kernel(dx_ref, dy_ref, dz_ref, fpack_ref, oterm_ref,
     columns). Padding faces have N == 0 and fail |N.D| >= eps by
     construction (matches the reference's parallel reject,
     triangle_list/compute.wgsl:93-96). Outputs are 1D (TILE_R,) blocks
-    accumulated across face blocks; face indices ascend with the block
-    index, so a strict < merge preserves the reference's first-face-wins
-    tie rule (triangle_list/compute.wgsl:198).
+    accumulated across face blocks; Morton-order face indices ascend with
+    the block index, so a strict < merge keeps the first-encountered face
+    on exact ties (the reference's update rule,
+    triangle_list/compute.wgsl:198, modulo Morton reordering).
+
+    mask_ref is the full (tiles, clusters) cull-verdict array, scalar-
+    prefetched to SMEM: masked steps skip ALL vector work (the tile's
+    ray cone provably misses this cluster's AABB — see ops/bvh.py).
     """
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
-        face_ref[:] = jnp.full_like(face_ref, INT_MISS)
+        for r in (face_ref,):
+            r[:] = jnp.zeros_like(r)
         for r in (u_ref, v_ref, nd_ref, uvx_ref, uvy_ref, nx_ref, ny_ref,
                   nz_ref, mat_ref):
             r[:] = jnp.zeros_like(r)
 
-    dx = _row1(dx_ref)  # (1, TILE_R)
-    dy = _row1(dy_ref)
-    dz = _row1(dz_ref)
-    g = fpack_ref
-    o = oterm_ref
+    @pl.when(mask_ref[i, j] > 0)
+    def _body():
+        dx = _row1(dx_ref)  # (1, TILE_R)
+        dy = _row1(dy_ref)
+        dz = _row1(dz_ref)
+        g = fpack_ref
+        o = oterm_ref
 
-    ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
-    t = _col(o, 0) / ndotd
-    h0 = _col(o, 1) + t * (_col(g, 3) * dx + _col(g, 4) * dy + _col(g, 5) * dz)
-    h1 = _col(o, 2) + t * (_col(g, 6) * dx + _col(g, 7) * dy + _col(g, 8) * dz)
-    h2 = _col(o, 3) + t * (_col(g, 9) * dx + _col(g, 10) * dy + _col(g, 11) * dz)
+        ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
+        t = _col(o, 0) / ndotd
+        h0 = _col(o, 1) + t * (_col(g, 3) * dx + _col(g, 4) * dy
+                               + _col(g, 5) * dz)
+        h1 = _col(o, 2) + t * (_col(g, 6) * dx + _col(g, 7) * dy
+                               + _col(g, 8) * dz)
+        h2 = _col(o, 3) + t * (_col(g, 9) * dx + _col(g, 10) * dy
+                               + _col(g, 11) * dz)
 
-    valid = (
-        (jnp.abs(ndotd) >= K_EPSILON)
-        & (t >= 0.0)
-        & (h0 >= 0.0)
-        & (h1 >= 0.0)
-        & (h2 >= 0.0)
-    )
-    tm = jnp.where(valid, t, F32_INF)
+        valid = (
+            (jnp.abs(ndotd) >= K_EPSILON)
+            & (t >= 0.0)
+            & (h0 >= 0.0)
+            & (h1 >= 0.0)
+            & (h2 >= 0.0)
+        )
+        tm = jnp.where(valid, t, F32_INF)
 
-    # block-local winner (min t; smallest face index on exact ties)
-    block_f = tm.shape[0]
-    tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, TILE_R)
-    face_ids = (jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-                + j * block_f)
-    idx_blk = jnp.min(
-        jnp.where(tm == tmin, face_ids, INT_MISS), axis=0, keepdims=True)
-    win = face_ids == idx_blk  # at most one True per column
+        # block-local winner (min t; first face in block order on ties)
+        block_f = tm.shape[0]
+        tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, TILE_R)
+        face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        idx_blk = jnp.min(
+            jnp.where(tm == tmin, face_ids, INT_MISS), axis=0, keepdims=True)
+        win = face_ids == idx_blk  # at most one True per column
 
-    def pick(m):
-        # winner-masked reduction over faces -> (1, TILE_R). MUST be a
-        # select, not win*m: padding faces carry NaN (0/0 plane math)
-        # and 0*NaN would poison the sum.
-        return jnp.sum(jnp.where(win, m, 0.0), axis=0, keepdims=True)
+        def pick(m):
+            # winner-masked reduction over faces -> (1, TILE_R). MUST be
+            # a select, not win*m: padding faces carry NaN (0/0 plane
+            # math) and 0*NaN would poison the sum.
+            return jnp.sum(jnp.where(win, m, 0.0), axis=0, keepdims=True)
 
-    invd = _col(g, _C_INVD)
-    u_n = h1 * invd
-    v_n = h2 * invd
-    w_n = 1.0 - u_n - v_n
-    uvx_m = (u_n * _col(g, _C_UV) + v_n * _col(g, _C_UV + 2)
-             + w_n * _col(g, _C_UV + 4))
-    uvy_m = (u_n * _col(g, _C_UV + 1) + v_n * _col(g, _C_UV + 3)
-             + w_n * _col(g, _C_UV + 5))
+        invd = _col(g, _C_INVD)
+        u_n = h1 * invd
+        v_n = h2 * invd
+        w_n = 1.0 - u_n - v_n
+        uvx_m = (u_n * _col(g, _C_UV) + v_n * _col(g, _C_UV + 2)
+                 + w_n * _col(g, _C_UV + 4))
+        uvy_m = (u_n * _col(g, _C_UV + 1) + v_n * _col(g, _C_UV + 3)
+                 + w_n * _col(g, _C_UV + 5))
 
-    u_blk = pick(u_n)
-    v_blk = pick(v_n)
-    nd_blk = pick(ndotd)
-    uvx_blk = pick(uvx_m)
-    uvy_blk = pick(uvy_m)
-    nx_blk = pick(jnp.broadcast_to(_col(g, _C_UN), tm.shape))
-    ny_blk = pick(jnp.broadcast_to(_col(g, _C_UN + 1), tm.shape))
-    nz_blk = pick(jnp.broadcast_to(_col(g, _C_UN + 2), tm.shape))
-    mat_blk = pick(jnp.broadcast_to(_col(g, _C_MAT), tm.shape))
+        u_blk = pick(u_n)
+        v_blk = pick(v_n)
+        nd_blk = pick(ndotd)
+        uvx_blk = pick(uvx_m)
+        uvy_blk = pick(uvy_m)
+        nx_blk = pick(jnp.broadcast_to(_col(g, _C_UN), tm.shape))
+        ny_blk = pick(jnp.broadcast_to(_col(g, _C_UN + 1), tm.shape))
+        nz_blk = pick(jnp.broadcast_to(_col(g, _C_UN + 2), tm.shape))
+        mat_blk = pick(jnp.broadcast_to(_col(g, _C_MAT), tm.shape))
 
-    better = (tmin < _row1(t_ref)).reshape(-1)  # (TILE_R,)
+        better = (tmin < _row1(t_ref)).reshape(-1)  # (TILE_R,)
 
-    def merge(ref, new):
-        ref[:] = jnp.where(better, new.reshape(-1), ref[:])
+        def merge(ref, new):
+            ref[:] = jnp.where(better, new.reshape(-1), ref[:])
 
-    merge(t_ref, tmin)
-    merge(face_ref, idx_blk)
-    merge(u_ref, u_blk)
-    merge(v_ref, v_blk)
-    merge(nd_ref, nd_blk)
-    merge(uvx_ref, uvx_blk)
-    merge(uvy_ref, uvy_blk)
-    merge(nx_ref, nx_blk)
-    merge(ny_ref, ny_blk)
-    merge(nz_ref, nz_blk)
-    merge(mat_ref, mat_blk)
+        merge(t_ref, tmin)
+        # face ids are GLOBAL indices into the Morton-sorted soup — the
+        # same id space the oracle's argmin yields (both operate on the
+        # sorted SceneData); use tri_orig to translate to pre-sort ids.
+        merge(face_ref, idx_blk + j * block_f)
+        merge(u_ref, u_blk)
+        merge(v_ref, v_blk)
+        merge(nd_ref, nd_blk)
+        merge(uvx_ref, uvx_blk)
+        merge(uvy_ref, uvy_blk)
+        merge(nx_ref, nx_blk)
+        merge(ny_ref, ny_blk)
+        merge(nz_ref, nz_blk)
+        merge(mat_ref, mat_blk)
 
 
-def _anyhit_kernel(dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
+def _anyhit_kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
                    act_ref, fpack_ref, dc_ref, occ_ref):
     """Shadow any-hit with PER-RAY origins (planar). act_ref masks rays
     that need testing (inactive rays stay unoccluded). dc_ref (F, 8):
-    cols [d, c0, c1, c2, 0...]. occ_ref (TILE_R,) accumulates 0/1."""
+    cols [d, c0, c1, c2, 0...]. occ_ref (TILE_R,) accumulates 0/1.
+    mask_ref: full scalar-prefetched (tiles, clusters) cull verdict, as
+    in the closest-hit kernel."""
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
-    dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
-    ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
-    g = fpack_ref
+    @pl.when(mask_ref[i, j] > 0)
+    def _body():
+        dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
+        ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
+        g = fpack_ref
 
-    ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
-    ndoto = _col(g, 0) * ox + _col(g, 1) * oy + _col(g, 2) * oz
-    t = -(ndoto + _col(dc_ref, 0)) / ndotd
+        ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
+        ndoto = _col(g, 0) * ox + _col(g, 1) * oy + _col(g, 2) * oz
+        t = -(ndoto + _col(dc_ref, 0)) / ndotd
 
-    def edge(k, c):
-        og = (_col(g, k) * ox + _col(g, k + 1) * oy + _col(g, k + 2) * oz
-              - _col(dc_ref, c))
-        dg = _col(g, k) * dx + _col(g, k + 1) * dy + _col(g, k + 2) * dz
-        return og + t * dg
+        def edge(k, c):
+            og = (_col(g, k) * ox + _col(g, k + 1) * oy + _col(g, k + 2) * oz
+                  - _col(dc_ref, c))
+            dg = _col(g, k) * dx + _col(g, k + 1) * dy + _col(g, k + 2) * dz
+            return og + t * dg
 
-    h0 = edge(3, 1)
-    h1 = edge(6, 2)
-    h2 = edge(9, 3)
+        h0 = edge(3, 1)
+        h1 = edge(6, 2)
+        h2 = edge(9, 3)
 
-    hit = (
-        (jnp.abs(ndotd) >= K_EPSILON)
-        & (t >= 1e-3)
-        & (h0 >= 0.0)
-        & (h1 >= 0.0)
-        & (h2 >= 0.0)
-    )
-    any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0) * act_ref[:]
-    occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
+        hit = (
+            (jnp.abs(ndotd) >= K_EPSILON)
+            & (t >= 1e-3)
+            & (h0 >= 0.0)
+            & (h1 >= 0.0)
+            & (h2 >= 0.0)
+        )
+        any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0) * act_ref[:]
+        occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
 
 
 def _pad1(x, tile, fill=0.0):
@@ -259,6 +280,82 @@ def _pad1(x, tile, fill=0.0):
     if pad:
         x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
     return x
+
+
+def _regroup_mask(mask, f, block_f):
+    """Adapt a (tiles, f/CULL_BLOCK) cull mask to the kernel's face-block
+    granularity (coarser blocks OR the member clusters; finer repeat)."""
+    cull = f // mask.shape[1]
+    if block_f == cull:
+        return mask
+    if block_f > cull:
+        assert block_f % cull == 0
+        return mask.reshape(mask.shape[0], -1, block_f // cull).max(axis=2)
+    assert cull % block_f == 0
+    return jnp.repeat(mask, cull // block_f, axis=1)
+
+
+def _tile_bounds(x, tile_r):
+    """Per-tile componentwise min/max of a padded (R,) plane."""
+    t = x.reshape(-1, tile_r)
+    return jnp.min(t, axis=1), jnp.max(t, axis=1)
+
+
+def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
+    """(tiles, clusters) i32 conservative activity mask.
+
+    Interval-arithmetic slab test: a tile's rays are bounded by
+    componentwise origin/direction intervals; a cluster AABB can only be
+    hit if every axis admits some t >= 0 (ops/bvh.py has the NumPy
+    reference + derivation). ox.. may be scalars (shared origin) or
+    padded (R,) planes (per-ray shadow origins).
+    """
+    def bounds(v):
+        if jnp.ndim(v) == 0:
+            n = dx.shape[0] // tile_r
+            b = jnp.broadcast_to(v, (n,))
+            return b, b
+        return _tile_bounds(v, tile_r)
+
+    oxm, oxM = bounds(ox)
+    oym, oyM = bounds(oy)
+    ozm, ozM = bounds(oz)
+    dxm, dxM = _tile_bounds(dx, tile_r)
+    dym, dyM = _tile_bounds(dy, tile_r)
+    dzm, dzM = _tile_bounds(dz, tile_r)
+
+    omin = jnp.stack([oxm, oym, ozm], axis=1)  # (T,3)
+    omax = jnp.stack([oxM, oyM, ozM], axis=1)
+    dmin = jnp.stack([dxm, dym, dzm], axis=1)
+    dmax = jnp.stack([dxM, dyM, dzM], axis=1)
+
+    a = scene.blk_lo[None, :, :] - omax[:, None, :]  # (T,B,3)
+    b = scene.blk_hi[None, :, :] - omin[:, None, :]
+    dn = dmin[:, None, :]
+    dp = dmax[:, None, :]
+
+    mixed = (dn <= 0.0) & (dp >= 0.0)
+    pos = dn > 0.0
+    # safe denominators (masked out where unused)
+    dp_s = jnp.where(jnp.abs(dp) > 1e-30, dp, 1e-30)
+    dn_s = jnp.where(jnp.abs(dn) > 1e-30, dn, 1e-30)
+
+    # t-range where [t*dn, t*dp] meets [a, b]:
+    #   dn,dp > 0: t*dn <= b AND t*dp >= a  ->  t in [a/dp if a>0, b/dn]
+    #   dn,dp < 0: t*dn <= b AND t*dp >= a  ->  t in [b/dn if b<0, a/dp]
+    lo_pos = jnp.where(a > 0.0, a / dp_s, 0.0)
+    hi_pos = jnp.where(b >= 0.0, b / dn_s, -1.0)
+    lo_neg = jnp.where(b < 0.0, b / dn_s, 0.0)
+    hi_neg = jnp.where(a <= 0.0, a / dp_s, -1.0)
+
+    lo_t = jnp.where(mixed, 0.0, jnp.where(pos, lo_pos, lo_neg))
+    hi_t = jnp.where(mixed, jnp.inf, jnp.where(pos, hi_pos, hi_neg))
+
+    box_ok = jnp.all(b >= a, axis=2)
+    t0 = jnp.max(lo_t, axis=2)
+    t1 = jnp.min(hi_t, axis=2)
+    ok = box_ok & (t1 >= 0.0) & (t1 >= t0)
+    return ok.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
@@ -279,30 +376,37 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     fpack = pack_face_columns(scene)
     oterm = pack_origin_cols(scene, origin)
 
+    mask = tile_cull_mask(scene, origin[0], origin[1], origin[2],
+                          dx, dy, dz, tile_r)
+    mask = _regroup_mask(mask, f, block_f)
+
     grid = (r // tile_r, f // block_f)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, j: (i,),
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, j, m: (i,),
                             memory_space=pltpu.VMEM)
     out_specs = [ray_spec] * 11
     out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(11)]
     out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
 
-    outs = pl.pallas_call(
-        _closest_hit_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the cull mask rides SMEM
         grid=grid,
         in_specs=[
             ray_spec, ray_spec, ray_spec,
-            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j: (j, 0),
+            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j, m: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_f, 8), lambda i, j: (j, 0),
+            pl.BlockSpec((block_f, 8), lambda i, j, m: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        _closest_hit_kernel,
+        grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(dx, dy, dz, fpack, oterm)
+    )(mask, dx, dy, dz, fpack, oterm)
 
     t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = [o[:nrays] for o in outs]
-    face = jnp.where(face == INT_MISS, 0, face)
     return GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
                    nx=nx, ny=ny, nz=nz, mat=mat)
 
@@ -326,22 +430,30 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
         [scene.tri_d[:, None], scene.tri_c,
          jnp.zeros((f, 4), jnp.float32)], axis=1)  # (F, 8)
 
+    dxp, dyp, dzp, oxp, oyp, ozp = args
+    mask = tile_cull_mask(scene, oxp, oyp, ozp, dxp, dyp, dzp, tile_r)
+    mask = _regroup_mask(mask, f, block_f)
+
     grid = (r // tile_r, f // block_f)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, j: (i,),
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, j, m: (i,),
                             memory_space=pltpu.VMEM)
-    occ = pl.pallas_call(
-        _anyhit_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[ray_spec] * 7 + [
-            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j: (j, 0),
+            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j, m: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_f, 8), lambda i, j: (j, 0),
+            pl.BlockSpec((block_f, 8), lambda i, j, m: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=ray_spec,
+    )
+    occ = pl.pallas_call(
+        _anyhit_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
         interpret=interpret,
-    )(*args, act, fpack, dc)
+    )(mask, *args, act, fpack, dc)
 
     return occ[:nrays] > 0.0
 
