@@ -1,0 +1,177 @@
+"""Instancing + per-frame refit (BASELINE config 5).
+
+The reference computes a 10x10 quaternion-rotated instance grid but
+never renders it (dead code, src/lib.rs:114-134 — SURVEY §2.2); this
+module provides the live capability: N transformed copies of a base
+mesh rendered as one soup, with all per-frame work (vertex transform,
+edge-plane precompute, cluster-AABB refit) running ON DEVICE inside the
+frame jit — the TPU-native analogue of a BVH refit: a few fused
+elementwise ops over (N*F) faces, no host round trip.
+
+Transforms are (N, 3, 4) affine rows [R | t]. Faces of each instance
+stay contiguous and cluster-aligned, so Morton/cluster locality is
+preserved as instances move (cluster AABBs are refit exactly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.scene import CULL_BLOCK, FACE_PAD, Scene, SceneData
+
+
+@dataclass
+class InstancedScene:
+    """Base mesh + template SceneData; `instantiate(transforms)` returns
+    a fully-valid SceneData for any instance placement."""
+
+    template: SceneData  # built with identity transforms
+    base_pos: jax.Array  # (V,3) base vertices
+    base_faces: jax.Array  # (Fb,3) i32 (padded to CULL_BLOCK multiple)
+    base_uv3: jax.Array  # (Fb,3,2)
+    base_vn3: jax.Array  # (Fb,3,3)
+    base_mat: jax.Array  # (Fb,) i32
+    base_valid: jax.Array  # (Fb,)
+    n_instances: int
+
+    @staticmethod
+    def from_config(mesh_cfg, n_instances: int) -> "InstancedScene":
+        from ..config import MeshConfig, RenderConfig, SceneConfig
+        from ..io.obj import load_obj, make_cube
+        from ..config import resolve_asset
+
+        if mesh_cfg.obj_path == "builtin:cube":
+            meshes = [make_cube()]
+        else:
+            meshes, _ = load_obj(resolve_asset(mesh_cfg.obj_path))
+        m = meshes[0]
+        pos = (m.positions * np.float32(mesh_cfg.scale)
+               + np.asarray(mesh_cfg.translation, np.float32))
+        faces = m.faces
+
+        # Morton-sort ONCE on the base mesh
+        from .bvh import morton_order
+        order = morton_order(pos[faces[:, 0]], pos[faces[:, 1]],
+                             pos[faces[:, 2]])
+        faces = faces[order]
+
+        fb_real = faces.shape[0]
+        fb = -(-fb_real // FACE_PAD) * FACE_PAD
+        pad = fb - fb_real
+        faces_p = np.concatenate(
+            [faces, np.zeros((pad, 3), np.int32)], axis=0)
+        valid = np.concatenate(
+            [np.ones(fb_real, np.float32), np.zeros(pad, np.float32)])
+
+        uv3 = m.uvs[faces_p]
+        vn3 = m.normals[faces_p]
+
+        # template SceneData: build a single-instance Scene for the
+        # shared material/texture arrays, then tile to N instances
+        base_scene = Scene.build(SceneConfig(
+            meshes=(mesh_cfg,), render=RenderConfig(width=8, height=8)))
+        sd = base_scene.data
+
+        inst = InstancedScene(
+            template=sd,
+            base_pos=jnp.asarray(pos),
+            base_faces=jnp.asarray(faces_p),
+            base_uv3=jnp.asarray(uv3.astype(np.float32)),
+            base_vn3=jnp.asarray(vn3.astype(np.float32)),
+            base_mat=jnp.full((fb,), 0, jnp.int32),
+            base_valid=jnp.asarray(valid),
+            n_instances=n_instances,
+        )
+        return inst
+
+    def instantiate(self, transforms) -> SceneData:
+        """(N,3,4) affine transforms -> SceneData. Pure jnp (jit/grad
+        compatible); this IS the per-frame refit."""
+        n = self.n_instances
+        fb = self.base_faces.shape[0]
+        t = jnp.asarray(transforms, jnp.float32)
+        assert t.shape == (n, 3, 4), t.shape
+
+        # transformed vertices per instance: (N, V, 3)
+        v = jnp.einsum("nij,vj->nvi", t[:, :, :3], self.base_pos,
+                       precision=jax.lax.Precision.HIGHEST) + t[:, None, :, 3]
+
+        f = self.base_faces
+        p0 = v[:, f[:, 0], :].reshape(-1, 3)  # (N*Fb, 3)
+        p1 = v[:, f[:, 1], :].reshape(-1, 3)
+        p2 = v[:, f[:, 2], :].reshape(-1, 3)
+
+        e0 = p1 - p0
+        e1 = p2 - p1
+        e2 = p0 - p2
+        nrm = jnp.cross(e0, p2 - p0)
+        denom = jnp.sum(nrm * nrm, axis=1)
+        d = -jnp.sum(nrm * p0, axis=1)
+        g0 = jnp.cross(nrm, e0)
+        g1 = jnp.cross(nrm, e1)
+        g2 = jnp.cross(nrm, e2)
+        c0 = jnp.sum(p0 * g0, axis=1)
+        c1 = jnp.sum(p1 * g1, axis=1)
+        c2 = jnp.sum(p2 * g2, axis=1)
+        valid = jnp.tile(self.base_valid, n)
+        inv_denom = jnp.where((denom > 0) & (valid > 0),
+                              1.0 / jnp.maximum(denom, 1e-30), 0.0)
+        nrm = nrm * valid[:, None]  # padding faces -> N=0 (never hit)
+
+        # cluster-AABB refit: segment min/max over CULL_BLOCK runs
+        nf = n * fb
+        nb = nf // CULL_BLOCK
+
+        def seg(x, red):
+            return red(x.reshape(nb, CULL_BLOCK, 3), axis=1)
+
+        blk_lo = jnp.minimum(jnp.minimum(
+            seg(jnp.where(valid[:, None] > 0, p0, jnp.inf), jnp.min),
+            seg(jnp.where(valid[:, None] > 0, p1, jnp.inf), jnp.min)),
+            seg(jnp.where(valid[:, None] > 0, p2, jnp.inf), jnp.min))
+        blk_hi = jnp.maximum(jnp.maximum(
+            seg(jnp.where(valid[:, None] > 0, p0, -jnp.inf), jnp.max),
+            seg(jnp.where(valid[:, None] > 0, p1, -jnp.inf), jnp.max)),
+            seg(jnp.where(valid[:, None] > 0, p2, -jnp.inf), jnp.max))
+
+        orig = jnp.arange(nf, dtype=jnp.int32)
+        return dataclasses.replace(
+            self.template,
+            tri_p0=p0,
+            tri_n=nrm,
+            tri_d=d * valid,
+            tri_g=jnp.stack([g0, g1, g2], axis=1) * valid[:, None, None],
+            tri_c=jnp.stack([c0, c1, c2], axis=1),
+            tri_inv_denom=inv_denom,
+            tri_uv=jnp.tile(self.base_uv3, (n, 1, 1)),
+            tri_vn=jnp.tile(self.base_vn3, (n, 1, 1)),
+            tri_mat=jnp.tile(self.base_mat, n),
+            tri_valid=valid,
+            tri_orig=orig,
+            blk_lo=blk_lo,
+            blk_hi=blk_hi,
+            num_faces=int(nf),
+        )
+
+
+def grid_transforms(n: int, spacing: float = 2.5, z: float = -10.0,
+                    angle: float = 0.0):
+    """A sqrt(n) x sqrt(n) grid of y-rotated instances (the analogue of
+    the reference's dead 10x10 instance grid, src/lib.rs:114-134)."""
+    side = int(np.ceil(np.sqrt(n)))
+    ts = []
+    ca, sa = np.cos(angle), np.sin(angle)
+    rot = np.array([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]], np.float32)
+    for i in range(n):
+        gx = (i % side) - (side - 1) / 2.0
+        gy = (i // side) - (side - 1) / 2.0
+        t = np.concatenate(
+            [rot, np.array([[gx * spacing], [gy * spacing], [z]],
+                           np.float32)], axis=1)
+        ts.append(t)
+    return np.stack(ts)  # (n, 3, 4)

@@ -230,6 +230,94 @@ def _closest_hit_kernel(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
         merge(mat_ref, mat_blk)
 
 
+def _closest_hit_perray_kernel(mask_ref, dx_ref, dy_ref, dz_ref,
+                               ox_ref, oy_ref, oz_ref, fpack_ref, dc_ref,
+                               t_ref, face_ref, u_ref, v_ref, nd_ref,
+                               uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
+                               mat_ref):
+    """Closest-hit with PER-RAY origins (secondary/bounce rays for the
+    path tracer). Same structure as _closest_hit_kernel but the origin
+    terms are computed per (face, ray) from planar origin rows; hits
+    closer than the self-intersection epsilon 1e-3 are rejected.
+    Terminated paths carry dirs == 0 and can never hit."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        t_ref[:] = jnp.full_like(t_ref, F32_INF)
+        for r in (face_ref,):
+            r[:] = jnp.zeros_like(r)
+        for r in (u_ref, v_ref, nd_ref, uvx_ref, uvy_ref, nx_ref, ny_ref,
+                  nz_ref, mat_ref):
+            r[:] = jnp.zeros_like(r)
+
+    @pl.when(mask_ref[i, j] > 0)
+    def _body():
+        dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
+        ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
+        g = fpack_ref
+
+        ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
+        ndoto = _col(g, 0) * ox + _col(g, 1) * oy + _col(g, 2) * oz
+        t = -(ndoto + _col(dc_ref, 0)) / ndotd
+
+        def hplane(k, c):
+            og = (_col(g, k) * ox + _col(g, k + 1) * oy + _col(g, k + 2) * oz
+                  - _col(dc_ref, c))
+            dg = _col(g, k) * dx + _col(g, k + 1) * dy + _col(g, k + 2) * dz
+            return og + t * dg
+
+        h0 = hplane(3, 1)
+        h1 = hplane(6, 2)
+        h2 = hplane(9, 3)
+
+        valid = (
+            (jnp.abs(ndotd) >= K_EPSILON)
+            & (t >= 1e-3)
+            & (h0 >= 0.0)
+            & (h1 >= 0.0)
+            & (h2 >= 0.0)
+        )
+        tm = jnp.where(valid, t, F32_INF)
+
+        block_f = tm.shape[0]
+        tmin = jnp.min(tm, axis=0, keepdims=True)
+        face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        idx_blk = jnp.min(
+            jnp.where(tm == tmin, face_ids, INT_MISS), axis=0, keepdims=True)
+        win = face_ids == idx_blk
+
+        def pick(m):
+            return jnp.sum(jnp.where(win, m, 0.0), axis=0, keepdims=True)
+
+        invd = _col(g, _C_INVD)
+        u_n = h1 * invd
+        v_n = h2 * invd
+        w_n = 1.0 - u_n - v_n
+        uvx_m = (u_n * _col(g, _C_UV) + v_n * _col(g, _C_UV + 2)
+                 + w_n * _col(g, _C_UV + 4))
+        uvy_m = (u_n * _col(g, _C_UV + 1) + v_n * _col(g, _C_UV + 3)
+                 + w_n * _col(g, _C_UV + 5))
+
+        better = (tmin < _row1(t_ref)).reshape(-1)
+
+        def merge(ref, new):
+            ref[:] = jnp.where(better, new.reshape(-1), ref[:])
+
+        merge(t_ref, tmin)
+        merge(face_ref, idx_blk + j * block_f)
+        merge(u_ref, pick(u_n))
+        merge(v_ref, pick(v_n))
+        merge(nd_ref, pick(ndotd))
+        merge(uvx_ref, pick(uvx_m))
+        merge(uvy_ref, pick(uvy_m))
+        merge(nx_ref, pick(jnp.broadcast_to(_col(g, _C_UN), tm.shape)))
+        merge(ny_ref, pick(jnp.broadcast_to(_col(g, _C_UN + 1), tm.shape)))
+        merge(nz_ref, pick(jnp.broadcast_to(_col(g, _C_UN + 2), tm.shape)))
+        merge(mat_ref, pick(jnp.broadcast_to(_col(g, _C_MAT), tm.shape)))
+
+
 def _anyhit_kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
                    act_ref, fpack_ref, dc_ref, occ_ref):
     """Shadow any-hit with PER-RAY origins (planar). act_ref masks rays
@@ -405,6 +493,59 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
         out_shape=out_shape,
         interpret=interpret,
     )(mask, dx, dy, dz, fpack, oterm)
+
+    t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = [o[:nrays] for o in outs]
+    return GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
+                   nx=nx, ny=ny, nz=nz, mat=mat)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
+def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
+                          tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                          interpret: bool = False) -> GBuffer:
+    """Closest-hit G-buffer for PER-RAY-origin planar rays (bounce rays).
+    Terminated paths should carry dirs == 0 (they cannot hit)."""
+    nrays = dx.shape[0]
+    planes = [_pad1(a, tile_r) for a in (dx, dy, dz, ox, oy, oz)]
+    r = planes[0].shape[0]
+
+    f = scene.tri_p0.shape[0]
+    block_f = min(block_f, f)
+    assert f % block_f == 0
+
+    fpack = pack_face_columns(scene)
+    dc = jnp.concatenate(
+        [scene.tri_d[:, None], scene.tri_c,
+         jnp.zeros((f, 4), jnp.float32)], axis=1)
+
+    dxp, dyp, dzp, oxp, oyp, ozp = planes
+    mask = tile_cull_mask(scene, oxp, oyp, ozp, dxp, dyp, dzp, tile_r)
+    mask = _regroup_mask(mask, f, block_f)
+
+    grid = (r // tile_r, f // block_f)
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, j, m: (i,),
+                            memory_space=pltpu.VMEM)
+    out_specs = [ray_spec] * 11
+    out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(11)]
+    out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[ray_spec] * 6 + [
+            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j, m: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_f, 8), lambda i, j, m: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        _closest_hit_perray_kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(mask, *planes, fpack, dc)
 
     t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = [o[:nrays] for o in outs]
     return GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,

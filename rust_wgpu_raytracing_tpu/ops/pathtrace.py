@@ -1,0 +1,290 @@
+"""Path tracing with progressive accumulation (BASELINE config 4).
+
+A capability EXTENSION over the reference (which casts primary rays
+only): diffuse global illumination with next-event estimation toward the
+scene's directional light(s), cosine-weighted bounces, and per-frame
+progressive sample accumulation.
+
+Design, TPU-first:
+- paths are PLANAR ray state ((R,) component planes) stepped through a
+  fixed bounce loop (static trip count — XLA-friendly control flow);
+- bounce 0 uses the shared-origin Pallas G-buffer; later bounces the
+  per-ray-origin variant; terminated paths carry zero directions so
+  every kernel treats them as guaranteed misses (lane masking, not
+  divergence);
+- randomness is jax.random (counter-based, reproducible) generated
+  OUTSIDE the kernels on planar arrays;
+- materials: texture/sphere albedo as Lambertian reflectance; specular
+  is ignored by the bounce BRDF (kept in the primary-hit NEE term as the
+  reference's Blinn-Phong highlight so PT images stay recognizably
+  "the same scene").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import CameraUniforms
+from ..core.scene import SceneData
+from .intersect import HI
+from .megakernel import (anyhit_pallas, blinn_phong_planar, gbuffer_pallas,
+                         gbuffer_perray_pallas, raygen_planar, _mat_const,
+                         _norm3, _spheres_occlude_planar,
+                         sample_packed_texture, sphere_pass_planar)
+from .raygen import ndc_grid
+
+F32_INF = float("inf")
+
+
+def _jittered_dirs(width, height, uni: CameraUniforms, key):
+    """raygen_planar + per-pixel sub-pixel jitter (anti-aliasing)."""
+    proj_inv = jnp.asarray(uni.proj_inv_wgpu, jnp.float32)
+    view_inv = jnp.asarray(uni.view_inv, jnp.float32)
+    m = jnp.matmul(view_inv[:3, :3], proj_inv[:3, :], precision=HI)
+    const = m[:, 2] + m[:, 3]
+
+    x_nds, y_nds = ndc_grid(width, height)
+    xr = jnp.tile(x_nds, height)
+    yr = jnp.repeat(y_nds, width)
+    r = width * height
+    kx, ky = jax.random.split(key)
+    xr = xr + (jax.random.uniform(kx, (r,)) - 0.5) * (2.0 / width)
+    yr = yr + (jax.random.uniform(ky, (r,)) - 0.5) * (2.0 / height)
+
+    dx = m[0, 0] * xr + m[0, 1] * yr + const[0]
+    dy = m[1, 0] * xr + m[1, 1] * yr + const[1]
+    dz = m[2, 0] * xr + m[2, 1] * yr + const[2]
+    inv_l = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return dx * inv_l, dy * inv_l, dz * inv_l
+
+
+def _cosine_sample(nx, ny, nz, key):
+    """Cosine-weighted hemisphere directions about planar normals."""
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, nx.shape)
+    u2 = jax.random.uniform(k2, nx.shape)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    lx = r * jnp.cos(phi)
+    ly = r * jnp.sin(phi)
+    lz = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+
+    # orthonormal basis about n (branchless Frisvad-style)
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    t1x = 1.0 + sign * nx * nx * a
+    t1y = sign * b
+    t1z = -sign * nx
+    t2x = b
+    t2y = sign + ny * ny * a
+    t2z = -ny
+
+    dx = lx * t1x + ly * t2x + lz * nx
+    dy = lx * t1y + ly * t2y + lz * ny
+    dz = lx * t1z + ly * t2z + lz * nz
+    return dx, dy, dz
+
+
+def _closest_surface(scene: SceneData, gb_hit, gb, sph):
+    """Merge mesh G-buffer and sphere hits into winner planes.
+
+    sph: list of per-sphere (t, hit, nx, ny, nz). Returns dict of winner
+    planes: t, hit, n, albedo (r,g,b), light dir, is_mesh."""
+    t = jnp.where(gb_hit, gb.t, F32_INF)
+    nx, ny, nz = gb.nx, gb.ny, gb.nz
+    flip = gb.nd > 0.0
+    nx = jnp.where(flip, -nx, nx)
+    ny = jnp.where(flip, -ny, ny)
+    nz = jnp.where(flip, -nz, nz)
+    is_mesh = gb_hit
+
+    for i, (ts, hs, sx, sy, sz) in enumerate(sph):
+        closer = hs & (ts < t)
+        t = jnp.where(closer, ts, t)
+        nx = jnp.where(closer, sx, nx)
+        ny = jnp.where(closer, sy, ny)
+        nz = jnp.where(closer, sz, nz)
+        is_mesh = is_mesh & ~closer
+    return t, nx, ny, nz, is_mesh
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "bounces", "spp", "background", "interpret"))
+def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
+                     height: int, bounces: int = 4, spp: int = 1,
+                     background=(0.0, 0.0, 0.0), interpret: bool = False):
+    """Trace `spp` full paths per pixel; returns the SUM of radiance
+    (H, W, 3) — caller divides by total accumulated spp (progressive
+    accumulation lives in the Renderer)."""
+    uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
+    r = width * height
+    has_mesh = scene.num_faces > 0
+    th = int(scene.textures.shape[1])
+    tw = int(scene.textures.shape[2])
+    bg = jnp.asarray(background, jnp.float32)
+
+    acc_r = jnp.zeros((r,))
+    acc_g = jnp.zeros((r,))
+    acc_b = jnp.zeros((r,))
+
+    for s in range(spp):
+        ks = jax.random.fold_in(key, s)
+        dx, dy, dz = _jittered_dirs(width, height, uni, ks)
+        ox = jnp.full((r,), uni.origin[0])
+        oy = jnp.full((r,), uni.origin[1])
+        oz = jnp.full((r,), uni.origin[2])
+
+        beta_r = jnp.ones((r,))
+        beta_g = jnp.ones((r,))
+        beta_b = jnp.ones((r,))
+        active = jnp.ones((r,), bool)
+        lr = jnp.zeros((r,))
+        lg = jnp.zeros((r,))
+        lb = jnp.zeros((r,))
+
+        for bounce in range(bounces + 1):
+            kb = jax.random.fold_in(ks, bounce + 1)
+            if bounce == 0:
+                gb = (gbuffer_pallas(scene, uni.origin, dx, dy, dz,
+                                     interpret=interpret)
+                      if has_mesh else None)
+            else:
+                gb = (gbuffer_perray_pallas(scene, ox, oy, oz, dx, dy, dz,
+                                            interpret=interpret)
+                      if has_mesh else None)
+
+            sph = []
+            for i in range(scene.num_spheres):
+                if bounce == 0:
+                    ts, hs, sx, sy, sz = sphere_pass_planar(
+                        scene, i, uni.origin, dx, dy, dz)
+                else:
+                    ts, hs, sx, sy, sz = _sphere_perray(
+                        scene, i, ox, oy, oz, dx, dy, dz)
+                sph.append((ts, hs, sx, sy, sz))
+
+            if gb is not None:
+                gb_hit = jnp.isfinite(gb.t) & active
+                t, nx, ny, nz, is_mesh = _closest_surface(
+                    scene, gb_hit, gb, [(ts, hs & active, sx, sy, sz)
+                                        for ts, hs, sx, sy, sz in sph])
+            else:
+                t = jnp.full((r,), F32_INF)
+                nx = ny = nz = jnp.zeros((r,))
+                is_mesh = jnp.zeros((r,), bool)
+                for ts, hs, sx, sy, sz in sph:
+                    closer = hs & active & (ts < t)
+                    t = jnp.where(closer, ts, t)
+                    nx = jnp.where(closer, sx, nx)
+                    ny = jnp.where(closer, sy, ny)
+                    nz = jnp.where(closer, sz, nz)
+
+            hit = active & jnp.isfinite(t)
+            # environment on miss
+            miss = active & ~hit
+            lr = lr + jnp.where(miss, beta_r * bg[0], 0.0)
+            lg = lg + jnp.where(miss, beta_g * bg[1], 0.0)
+            lb = lb + jnp.where(miss, beta_b * bg[2], 0.0)
+
+            # ---- albedo of the winning surface ----
+            if gb is not None:
+                tex_id = _mat_const(
+                    scene, gb.mat,
+                    lambda k: scene.mat_tex[k].astype(jnp.float32)
+                ).astype(jnp.int32)
+                hw_h = _mat_const(scene, gb.mat, lambda k: scene.tex_hw[
+                    scene.mat_tex[k], 0].astype(jnp.float32))
+                hw_w = _mat_const(scene, gb.mat, lambda k: scene.tex_hw[
+                    scene.mat_tex[k], 1].astype(jnp.float32))
+                ar, ag, ab = sample_packed_texture(
+                    scene, tex_id, th, tw, hw_h, hw_w,
+                    gb.uvx, 1.0 - gb.uvy, interpret=interpret)
+                lx = _mat_const(scene, gb.mat, lambda k: scene.mat_light[k, 0])
+                ly = _mat_const(scene, gb.mat, lambda k: scene.mat_light[k, 1])
+                lz = _mat_const(scene, gb.mat, lambda k: scene.mat_light[k, 2])
+            else:
+                ar = ag = ab = jnp.zeros((r,))
+                lx = jnp.full((r,), 1.0)
+                ly = jnp.full((r,), -1.0)
+                lz = jnp.full((r,), -5.0)
+            for i in range(scene.num_spheres):
+                ts, hs, *_ = sph[i]
+                sel = hit & ~is_mesh & hs & (ts == t)
+                ar = jnp.where(sel, scene.sphere_color[i, 0], ar)
+                ag = jnp.where(sel, scene.sphere_color[i, 1], ag)
+                ab = jnp.where(sel, scene.sphere_color[i, 2], ab)
+                lx = jnp.where(sel, scene.sphere_light[i, 0], lx)
+                ly = jnp.where(sel, scene.sphere_light[i, 1], ly)
+                lz = jnp.where(sel, scene.sphere_light[i, 2], lz)
+
+            # ---- next-event estimation toward the directional light ----
+            ll = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+            ll = jnp.where(ll > 0, ll, 1.0)
+            sdx, sdy, sdz = -lx / ll, -ly / ll, -lz / ll
+            ts_safe = jnp.where(hit, t, 0.0)
+            px = ox + dx * ts_safe + nx * 1e-3
+            py = oy + dy * ts_safe + ny * 1e-3
+            pz = oz + dz * ts_safe + nz * 1e-3
+            occ = jnp.zeros((r,), bool)
+            if has_mesh:
+                occ = anyhit_pallas(scene, px, py, pz, sdx, sdy, sdz, hit,
+                                    interpret=interpret)
+            occ = occ | _spheres_occlude_planar(scene, px, py, pz,
+                                                sdx, sdy, sdz)
+            lam = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
+            lam = jnp.where(hit & ~occ, lam, 0.0)
+            lr = lr + beta_r * ar * lam
+            lg = lg + beta_g * ag * lam
+            lb = lb + beta_b * ab * lam
+
+            if bounce == bounces:
+                break
+
+            # ---- bounce ----
+            bdx, bdy, bdz = _cosine_sample(nx, ny, nz, kb)
+            active = hit
+            dx = jnp.where(active, bdx, 0.0)
+            dy = jnp.where(active, bdy, 0.0)
+            dz = jnp.where(active, bdz, 0.0)
+            ox, oy, oz = px, py, pz
+            beta_r = beta_r * jnp.where(active, ar, 0.0)
+            beta_g = beta_g * jnp.where(active, ag, 0.0)
+            beta_b = beta_b * jnp.where(active, ab, 0.0)
+
+        acc_r = acc_r + lr
+        acc_g = acc_g + lg
+        acc_b = acc_b + lb
+
+    color = jnp.stack(
+        [acc_r.reshape(height, width), acc_g.reshape(height, width),
+         acc_b.reshape(height, width)], axis=-1)
+    return color
+
+
+def _sphere_perray(scene, i, ox, oy, oz, dx, dy, dz):
+    """sphere_pass_planar with per-ray origins + epsilon for bounces."""
+    cx, cy, cz = (scene.sphere_center[i, 0], scene.sphere_center[i, 1],
+                  scene.sphere_center[i, 2])
+    radius = scene.sphere_radius[i]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    a = dx * dx + dy * dy + dz * dz
+    b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+    c = (ocx * ocx + ocy * ocy + ocz * ocz) - radius * radius
+    disc = b * b - 4.0 * a * c
+    a_safe = jnp.where(jnp.abs(a) > 1e-20, a, 1.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b - sq) / (2.0 * a_safe)
+    t2 = (-b + sq) / (2.0 * a_safe)
+    t = jnp.where(t1 >= 1e-3, t1, jnp.where(t2 >= 1e-3, t2, F32_INF))
+    t = jnp.where((disc < 0.0) | (jnp.abs(a) <= 1e-20), F32_INF, t)
+    hit = jnp.isfinite(t)
+    ts = jnp.where(hit, t, 0.0)
+    pxx, pyy, pzz = ox + dx * ts, oy + dy * ts, oz + dz * ts
+    nx, ny, nz = pxx - cx, pyy - cy, pzz - cz
+    l = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    l = jnp.where(l > 0, l, 1.0)
+    return t, hit, nx / l, ny / l, nz / l

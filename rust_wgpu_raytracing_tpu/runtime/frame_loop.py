@@ -1,0 +1,99 @@
+"""Interactive frame loop — the analogue of the reference's winit event
+loop (src/lib.rs:1305-1352: MainEventsCleared -> request_redraw ->
+update() -> render(), with SurfaceError recovery).
+
+Headless-friendly: input events come from a queue (the HTTP shell in
+server.py feeds it; scripts can push keys programmatically), frames are
+presented through a callback. Error handling mirrors the reference's
+render-error match (lib.rs:1338-1347): recoverable errors trigger a
+device reset + resize, OOM aborts.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from .profiler import Profiler
+from .renderer import Renderer
+
+
+@dataclass
+class KeyEvent:
+    key: str
+    pressed: bool
+
+
+class FrameLoop:
+    def __init__(self, renderer: Renderer,
+                 present: Optional[Callable[[np.ndarray], None]] = None,
+                 max_fps: Optional[float] = None):
+        self.renderer = renderer
+        self.present = present
+        self.max_fps = max_fps
+        self.events: "queue.Queue[KeyEvent]" = queue.Queue()
+        self.profiler = Profiler()
+        self.running = False
+        self.frame_index = 0
+
+    # --- input path (State::input, src/lib.rs:990-992) ---
+    def push_key(self, key: str, pressed: bool = True):
+        self.events.put(KeyEvent(key, pressed))
+
+    def _drain_events(self):
+        while True:
+            try:
+                ev = self.events.get_nowait()
+            except queue.Empty:
+                return
+            self.renderer.controller.process_key(ev.key, ev.pressed)
+
+    # --- one iteration of the redraw cycle ---
+    def step(self) -> np.ndarray:
+        self._drain_events()
+        self.renderer.update()
+        t0 = time.perf_counter()
+        try:
+            self.renderer.render()
+        except MemoryError:
+            # the reference exits on OutOfMemory (lib.rs:1343)
+            self.running = False
+            raise
+        except Exception:
+            # Lost/Outdated analogue: rebuild size-dependent state and
+            # retry once (lib.rs:1341-1342)
+            self.renderer.resize(self.renderer.width, self.renderer.height)
+            self.renderer.render()
+        img = self.renderer.present_image()
+        self.profiler.record((time.perf_counter() - t0) * 1e3)
+        if self.present is not None:
+            self.present(img)
+        self.frame_index += 1
+        return img
+
+    def run(self, n_frames: Optional[int] = None):
+        """Blocking loop (the event_loop.run analogue)."""
+        self.running = True
+        count = 0
+        while self.running and (n_frames is None or count < n_frames):
+            t0 = time.perf_counter()
+            self.step()
+            count += 1
+            if self.max_fps:
+                budget = 1.0 / self.max_fps - (time.perf_counter() - t0)
+                if budget > 0:
+                    time.sleep(budget)
+        self.running = False
+
+    def run_async(self, n_frames: Optional[int] = None) -> threading.Thread:
+        th = threading.Thread(target=self.run, args=(n_frames,), daemon=True)
+        th.start()
+        return th
+
+    def stop(self):
+        self.running = False

@@ -56,6 +56,41 @@ class Renderer:
     # ------------------------------------------------------------------
     def _build_frame_fn(self):
         rc = self.config.render
+        interactive_interpret = jax.default_backend() != "tpu"
+        if rc.pt_bounces > 0:
+            # progressive path tracing (BASELINE config 4): accumulate
+            # jittered samples across frames; update() resets on camera
+            # motion (classic interactive-PT behavior)
+            from ..ops.pathtrace import render_pathtrace
+
+            self._accum = None
+            self._spp_done = 0
+
+            def frame(scene, uni):
+                import jax.numpy as jnp
+
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(rc.seed), self._spp_done)
+                spp = min(rc.pt_spp - self._spp_done, 1) or 1
+                # the path tracer always runs the Pallas kernels; off-TPU
+                # they execute in interpret mode
+                c = render_pathtrace(
+                    scene, uni, key, width=self.width, height=self.height,
+                    bounces=rc.pt_bounces, spp=spp,
+                    background=tuple(self.config.background),
+                    interpret=interactive_interpret)
+                if self._accum is None:
+                    self._accum = c
+                else:
+                    self._accum = self._accum + c
+                self._spp_done += spp
+                color = self._accum / self._spp_done
+                depth = jnp.ones((self.height, self.width), jnp.float32)
+                return color, depth
+
+            self._frame_fn = frame
+            return
+
         kwargs = dict(
             width=self.width,
             height=self.height,
@@ -79,7 +114,13 @@ class Renderer:
 
     # --- State::update (src/lib.rs:994-1010) ---
     def update(self):
+        before = self.camera.eye.copy()
         self.controller.update_camera(self.camera)
+        if getattr(self, "_accum", None) is not None and not np.array_equal(
+                before, self.camera.eye):
+            # camera moved: restart progressive accumulation
+            self._accum = None
+            self._spp_done = 0
 
     # --- State::render (src/lib.rs:1012-1230) ---
     def render(self, block: bool = False):

@@ -1,0 +1,152 @@
+"""Runtime subsystem tests: frame loop, HTTP shell, checkpoint/resume,
+models layer, logging."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from rust_wgpu_raytracing_tpu.config import (CameraConfig, RenderConfig,
+                                             SceneConfig, SphereConfig)
+from rust_wgpu_raytracing_tpu.runtime.frame_loop import FrameLoop
+from rust_wgpu_raytracing_tpu.runtime.renderer import Renderer
+
+
+def tiny_renderer(**render_kw):
+    cfg = SceneConfig(
+        spheres=(SphereConfig(center=(0.0, 0.0, -3.0), radius=0.8),),
+        render=RenderConfig(width=32, height=32, **render_kw))
+    return Renderer(cfg, backend="oracle")
+
+
+class TestFrameLoop:
+    def test_steps_and_input(self):
+        r = tiny_renderer()
+        frames = []
+        loop = FrameLoop(r, present=frames.append)
+        loop.push_key("d", True)
+        eye0 = r.camera.eye.copy()
+        loop.run(n_frames=3)
+        assert len(frames) == 3
+        assert frames[0].shape == (32, 32, 3)
+        assert not np.array_equal(r.camera.eye, eye0)  # orbit applied
+        assert loop.profiler.summary()["frames"] == 3
+
+
+class TestServer:
+    def test_endpoints(self):
+        from rust_wgpu_raytracing_tpu.runtime.server import RenderServer
+
+        r = tiny_renderer()
+        loop = FrameLoop(r)
+        srv = RenderServer(loop, port=0)
+        srv.serve_async()
+        loop.run(n_frames=2)
+        base = f"http://127.0.0.1:{srv.port}"
+        try:
+            page = urllib.request.urlopen(base + "/", timeout=10).read()
+            assert b"rust_wgpu_raytracing_tpu" in page
+            png = urllib.request.urlopen(base + "/frame.png", timeout=10).read()
+            assert png[:4] == b"\x89PNG"
+            stats = json.loads(urllib.request.urlopen(
+                base + "/stats", timeout=10).read())
+            assert stats["frames_rendered"] == 2
+            assert urllib.request.urlopen(
+                base + "/key?k=w&p=1", timeout=10).read() == b"ok"
+            assert not loop.events.empty()
+        finally:
+            srv.shutdown()
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from rust_wgpu_raytracing_tpu.io.checkpoint import (load_checkpoint,
+                                                            save_checkpoint)
+
+        r = tiny_renderer()
+        r.controller.process_key("d", True)
+        r.update()
+        r.render()
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(p, r)
+
+        r2 = load_checkpoint(p, backend="oracle")
+        np.testing.assert_array_equal(r2.camera.eye, r.camera.eye)
+        assert r2.controller.keys.right
+        assert r2.frame_count == r.frame_count
+        # resumed renderer produces the same next frame
+        c1, _ = r.render()
+        c2, _ = r2.render()
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_progressive_resume(self, tmp_path):
+        import dataclasses as dc
+
+        from rust_wgpu_raytracing_tpu.io.checkpoint import (load_checkpoint,
+                                                            save_checkpoint)
+
+        cfg = SceneConfig(
+            spheres=(SphereConfig(center=(0.0, 0.0, -3.0), radius=0.8),),
+            render=RenderConfig(width=16, height=16, pt_bounces=1, pt_spp=8))
+        r = Renderer(cfg, backend="oracle")
+        r.render()
+        r.render()
+        p = str(tmp_path / "pt.npz")
+        save_checkpoint(p, r)
+        r2 = load_checkpoint(p, backend="oracle")
+        assert r2._spp_done == 2
+        c_resumed, _ = r2.render()
+        assert r2._spp_done == 3
+
+
+class TestModels:
+    def test_sphere_model_pass(self):
+        import jax.numpy as jnp
+
+        from rust_wgpu_raytracing_tpu.models import Sphere
+
+        s = Sphere.new(1.0, (0.0, 0.0, -4.0))
+        n = 64
+        dx = jnp.zeros((n,))
+        dy = jnp.zeros((n,))
+        dz = jnp.full((n,), -1.0)
+        origin = jnp.zeros(3)
+        t, hit, nx, ny, nz = s.intersect(origin, dx, dy, dz)
+        assert bool(hit[0])
+        np.testing.assert_allclose(float(t[0]), 3.0, rtol=1e-6)
+
+        state = (jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)),
+                 jnp.ones((n,)))
+        cr, cg, cb, depth = s.render_pass(state, origin, dx, dy, dz)
+        assert float(depth[0]) < 1.0
+        assert float(cr[0]) > 0.0
+
+    def test_triangle_model_pass(self):
+        import jax.numpy as jnp
+
+        from rust_wgpu_raytracing_tpu.models import Triangle
+
+        tr = Triangle(p0=(-1, -1, -2), p1=(1, -1, -2), p2=(0, 1, -2))
+        dx = jnp.zeros((8,))
+        dy = jnp.zeros((8,))
+        dz = jnp.full((8,), -1.0)
+        t, hit, nx, ny, nz = tr.intersect(jnp.zeros(3), dx, dy, dz)
+        assert bool(hit[0])
+        np.testing.assert_allclose(float(t[0]), 2.0, rtol=1e-6)
+        # backface flip: normal faces the ray
+        assert float(nz[0]) > 0
+
+    def test_triangle_list_model(self):
+        from rust_wgpu_raytracing_tpu.models import TriangleList
+
+        tl = TriangleList.new("builtin:cube")
+        assert tl.num_faces() == 12
+
+
+class TestLogging:
+    def test_stats_logger(self, capsys):
+        from rust_wgpu_raytracing_tpu.utils import get_logger, log_frame_stats
+
+        log = get_logger("test")
+        log_frame_stats(log, frame=1, frame_ms=16.0, width=64, height=64)
