@@ -111,6 +111,12 @@ class SceneData:
     #   slices unfused (~0.5 ms per stray elementwise op at 1080p).
     tex_packed: jax.Array  # (12, T*TH*TW) u16, linear fixed-point
 
+    # --- normal mapping (BASELINE-added capability; the reference ships
+    # cube-normal.png + map_Bump in cube.mtl:13 but never samples it) ---
+    tri_tangent: jax.Array  # (F,3) f32 per-face tangent (uv-aligned)
+    tri_bitangent: jax.Array  # (F,3) f32
+    mat_bump: jax.Array  # (M,) i32 bump texture index, -1 = none
+
     # static metadata (not traced)
     num_faces: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_spheres: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -152,7 +158,28 @@ def _precompute_faces(positions: np.ndarray, uvs: np.ndarray, normals: np.ndarra
     vn3 = normals[faces]  # (F,3,3)
     g = np.stack([g0, g1, g2], axis=1)  # (F,3,3)
     c = np.stack([c0, c1, c2], axis=1)  # (F,3)
-    return p0, n, d, g, c, inv_denom.astype(np.float32), uv3, vn3
+
+    # per-face tangent frame from uv deltas (standard tangent-space
+    # construction; flat per face, matching the flat geometric normals)
+    duv1 = uv3[:, 1] - uv3[:, 0]  # (F,2)
+    duv2 = uv3[:, 2] - uv3[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    inv_det = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det),
+                       0.0)
+    ep1 = p1 - p0
+    ep2 = p2 - p0
+    tangent = (ep1 * duv2[:, 1:2] - ep2 * duv1[:, 1:2]) * inv_det[:, None]
+    bitangent = (ep2 * duv1[:, 0:1] - ep1 * duv2[:, 0:1]) * inv_det[:, None]
+
+    def _norm_rows(x):
+        l = np.linalg.norm(x, axis=1, keepdims=True)
+        return np.where(l > 1e-12, x / np.maximum(l, 1e-12), 0.0)
+
+    tangent = _norm_rows(tangent).astype(np.float32)
+    bitangent = _norm_rows(bitangent).astype(np.float32)
+
+    return (p0, n, d, g, c, inv_denom.astype(np.float32), uv3, vn3,
+            tangent, bitangent)
 
 
 @dataclass
@@ -250,8 +277,8 @@ class Scene:
             face_mat = face_mat[order]
             orig_ids = order.astype(np.int32)
 
-            p0, n, d, g, c, inv_denom, uv3, vn3 = _precompute_faces(
-                positions, uvs, normals, faces)
+            (p0, n, d, g, c, inv_denom, uv3, vn3, tangent,
+             bitangent) = _precompute_faces(positions, uvs, normals, faces)
             blk_lo, blk_hi = cluster_aabbs(
                 _pad_rows(positions[faces[:, 0]], padded),
                 _pad_rows(positions[faces[:, 1]], padded),
@@ -266,14 +293,17 @@ class Scene:
             inv_denom = np.zeros((0,), np.float32)
             uv3 = np.zeros((0, 3, 2), np.float32)
             vn3 = np.zeros((0, 3, 3), np.float32)
+            tangent = np.zeros((0, 3), np.float32)
+            bitangent = np.zeros((0, 3), np.float32)
             orig_ids = np.zeros((0,), np.int32)
             nb = padded // CULL_BLOCK
             blk_lo = np.full((nb, 3), np.inf, np.float32)
             blk_hi = np.full((nb, 3), -np.inf, np.float32)
 
-        # ---- textures ----
+        # ---- textures (diffuse sRGB-decoded; bump maps raw) ----
         textures: List[TextureData] = []
         mat_tex: List[int] = []
+        mat_bump: List[int] = []
         for mat in materials:
             if mat.map_kd:
                 tex = load_texture_file(resolve_asset(mat.map_kd))
@@ -281,6 +311,13 @@ class Scene:
                 tex = solid_texture((1.0, 1.0, 1.0))
             mat_tex.append(len(textures))
             textures.append(tex)
+        for mat in materials:
+            if mat.map_bump:
+                mat_bump.append(len(textures))
+                textures.append(load_texture_file(
+                    resolve_asset(mat.map_bump), srgb=False))
+            else:
+                mat_bump.append(-1)
         th = max(t.height for t in textures)
         tw = max(t.width for t in textures)
         tex_stack = np.zeros((len(textures), th, tw, 3), np.float32)
@@ -333,6 +370,9 @@ class Scene:
             tex_hw=jnp.asarray(tex_hw),
             tex_packed=jnp.asarray(
                 np.ascontiguousarray(tex_packed.reshape(-1, 12).T)),
+            tri_tangent=jnp.asarray(_pad_rows(tangent, padded)),
+            tri_bitangent=jnp.asarray(_pad_rows(bitangent, padded)),
+            mat_bump=jnp.asarray(np.array(mat_bump, np.int32)),
             num_faces=num_faces,
             num_spheres=len(spheres),
         )

@@ -139,9 +139,20 @@ class InstancedScene:
             seg(jnp.where(valid[:, None] > 0, p1, -jnp.inf), jnp.max)),
             seg(jnp.where(valid[:, None] > 0, p2, -jnp.inf), jnp.max))
 
+        # rotate tangent frames (template face order == our Morton order:
+        # both sorts run the same stable algorithm on the same faces)
+        def rot_dirs(vecs):
+            out = jnp.einsum("nij,fj->nfi", t[:, :, :3], vecs,
+                             precision=jax.lax.Precision.HIGHEST)
+            out = out.reshape(-1, 3)
+            l = jnp.linalg.norm(out, axis=1, keepdims=True)
+            return out / jnp.where(l > 1e-12, l, 1.0)
+
         orig = jnp.arange(nf, dtype=jnp.int32)
         return dataclasses.replace(
             self.template,
+            tri_tangent=rot_dirs(self.template.tri_tangent),
+            tri_bitangent=rot_dirs(self.template.tri_bitangent),
             tri_p0=p0,
             tri_n=nrm,
             tri_d=d * valid,

@@ -62,7 +62,9 @@ _C_UN = 13  # 13-15 unit normal
 _C_UV = 16  # 16-21 uv corners (u0,v0,u1,v1,u2,v2)
 _C_MAT = 22  # material id (exact small int in f32)
 _C_ORIG = 23  # original (pre-Morton-sort) face id, exact in f32 < 2^24
-FPACK_COLS = 24
+_C_TAN = 24  # 24-26 tangent, 27-29 bitangent (normal mapping)
+_C_VN = 30  # 30-38 per-corner vertex normals (vn0 vn1 vn2, xyz each)
+FPACK_COLS = 40
 
 
 class GBuffer(NamedTuple):
@@ -79,6 +81,16 @@ class GBuffer(NamedTuple):
     ny: jax.Array
     nz: jax.Array
     mat: jax.Array  # material id as f32
+    # normal-mapping extras (None unless requested with with_nm=True)
+    vnx: Optional[jax.Array] = None  # interpolated vertex normal
+    vny: Optional[jax.Array] = None
+    vnz: Optional[jax.Array] = None
+    tx: Optional[jax.Array] = None  # per-face tangent
+    ty: Optional[jax.Array] = None
+    tz: Optional[jax.Array] = None
+    bx: Optional[jax.Array] = None  # per-face bitangent
+    by: Optional[jax.Array] = None
+    bz: Optional[jax.Array] = None
 
 
 def pack_face_columns(scene: SceneData) -> jnp.ndarray:
@@ -95,6 +107,10 @@ def pack_face_columns(scene: SceneData) -> jnp.ndarray:
         scene.tri_uv.reshape(f, 6),  # 16-21
         scene.tri_mat.astype(jnp.float32)[:, None],  # 22
         scene.tri_orig.astype(jnp.float32)[:, None],  # 23
+        scene.tri_tangent,  # 24-26
+        scene.tri_bitangent,  # 27-29
+        scene.tri_vn.reshape(f, 9),  # 30-38
+        jnp.zeros((f, 1), jnp.float32),  # 39
     ]
     return jnp.concatenate(cols, axis=1)
 
@@ -119,10 +135,28 @@ def _row1(ref):
     return ref[:].reshape(1, -1)  # 1D (TILE_R,) block -> (1, TILE_R)
 
 
-def _closest_hit_kernel(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
-                        oterm_ref,
-                        t_ref, face_ref, u_ref, v_ref, nd_ref,
-                        uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref):
+def _make_closest_hit_kernel(with_nm: bool):
+    """Kernel factory: with_nm=True adds 9 outputs (interpolated vertex
+    normal + per-face tangent/bitangent) for the normal-mapping path."""
+
+    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref, oterm_ref,
+               *outs):
+        (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
+         nx_ref, ny_ref, nz_ref, mat_ref) = outs[:11]
+        nm_refs = outs[11:] if with_nm else ()
+        _closest_hit_body(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
+                          oterm_ref, t_ref, face_ref, u_ref, v_ref, nd_ref,
+                          uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref,
+                          nm_refs)
+
+    return kernel
+
+
+def _closest_hit_body(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
+                      oterm_ref,
+                      t_ref, face_ref, u_ref, v_ref, nd_ref,
+                      uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref,
+                      nm_refs=()):
     """One (ray_tile, face_block) grid step: intersect + winner picks.
 
     Rays on lanes ((1, TILE_R) rows), faces on sublanes ((BLOCK_F, 1)
@@ -147,7 +181,7 @@ def _closest_hit_kernel(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
         for r in (face_ref,):
             r[:] = jnp.zeros_like(r)
         for r in (u_ref, v_ref, nd_ref, uvx_ref, uvy_ref, nx_ref, ny_ref,
-                  nz_ref, mat_ref):
+                  nz_ref, mat_ref) + tuple(nm_refs):
             r[:] = jnp.zeros_like(r)
 
     @pl.when(mask_ref[i, j] > 0)
@@ -228,6 +262,19 @@ def _closest_hit_kernel(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
         merge(ny_ref, ny_blk)
         merge(nz_ref, nz_blk)
         merge(mat_ref, mat_blk)
+
+        if nm_refs:
+            # interpolated vertex normal + per-face tangent frame
+            vn = []
+            for ax in range(3):
+                vn_m = (u_n * _col(g, _C_VN + ax)
+                        + v_n * _col(g, _C_VN + 3 + ax)
+                        + w_n * _col(g, _C_VN + 6 + ax))
+                vn.append(pick(vn_m))
+            tb = [pick(jnp.broadcast_to(_col(g, _C_TAN + k), tm.shape))
+                  for k in range(6)]
+            for ref, val in zip(nm_refs, vn + tb):
+                merge(ref, val)
 
 
 def _closest_hit_perray_kernel(mask_ref, dx_ref, dy_ref, dz_ref,
@@ -446,11 +493,14 @@ def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
     return ok.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
+                                             "interpret", "with_nm"))
 def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                    tile_r: int = TILE_R, block_f: int = BLOCK_F,
-                   interpret: bool = False) -> GBuffer:
-    """Closest-hit G-buffer for shared-origin planar rays dx/dy/dz (R,)."""
+                   interpret: bool = False, with_nm: bool = False) -> GBuffer:
+    """Closest-hit G-buffer for shared-origin planar rays dx/dy/dz (R,).
+    with_nm additionally resolves interpolated vertex normals + tangent
+    frames (normal-mapping path)."""
     nrays = dx.shape[0]
     dx = _pad1(dx, tile_r)
     dy = _pad1(dy, tile_r)
@@ -468,11 +518,13 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                           dx, dy, dz, tile_r)
     mask = _regroup_mask(mask, f, block_f)
 
+    n_out = 20 if with_nm else 11
     grid = (r // tile_r, f // block_f)
     ray_spec = pl.BlockSpec((tile_r,), lambda i, j, m: (i,),
                             memory_space=pltpu.VMEM)
-    out_specs = [ray_spec] * 11
-    out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(11)]
+    out_specs = [ray_spec] * n_out
+    out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
+                 for _ in range(n_out)]
     out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -488,15 +540,20 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        _closest_hit_kernel,
+        _make_closest_hit_kernel(with_nm),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(mask, dx, dy, dz, fpack, oterm)
 
-    t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = [o[:nrays] for o in outs]
+    outs = [o[:nrays] for o in outs]
+    t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = outs[:11]
+    nm = dict()
+    if with_nm:
+        (nm["vnx"], nm["vny"], nm["vnz"], nm["tx"], nm["ty"], nm["tz"],
+         nm["bx"], nm["by"], nm["bz"]) = outs[11:]
     return GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
-                   nx=nx, ny=ny, nz=nz, mat=mat)
+                   nx=nx, ny=ny, nz=nz, mat=mat, **nm)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
@@ -777,7 +834,7 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     collapses into this single compiled program. Returns
     (color (H,W,3) f32, depth (H,W) f32).
     """
-    del accel, normal_mapping  # bvh + normal-map paths land separately
+    del accel  # cull/brute both route through the masked kernels
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     origin = uni.origin
 
@@ -840,7 +897,8 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
 
     # --- mesh pass (Pallas G-buffer + one-gather shading) ---
     if has_mesh:
-        gb = gbuffer_pallas(scene, origin, dx, dy, dz, interpret=interpret)
+        gb = gbuffer_pallas(scene, origin, dx, dy, dz, interpret=interpret,
+                            with_nm=normal_mapping)
         hit = jnp.isfinite(gb.t)
 
         flip = gb.nd > 0.0
@@ -862,6 +920,44 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
 
         tex_u = gb.uvx
         tex_v = 1.0 - gb.uvy  # V-flip (triangle_list/compute.wgsl:223)
+
+        if normal_mapping:
+            # smooth vertex normals where present, aligned with the
+            # flipped geometric normal (oracle spec: ops/shade.py)
+            vl2 = gb.vnx ** 2 + gb.vny ** 2 + gb.vnz ** 2
+            has_vn = vl2 > 1e-12
+            inv = 1.0 / jnp.sqrt(jnp.where(has_vn, vl2, 1.0))
+            vnx, vny, vnz = gb.vnx * inv, gb.vny * inv, gb.vnz * inv
+            sgn = jnp.where(vnx * nx + vny * ny + vnz * nz < 0.0, -1.0, 1.0)
+            nx = jnp.where(has_vn, vnx * sgn, nx)
+            ny = jnp.where(has_vn, vny * sgn, ny)
+            nz = jnp.where(has_vn, vnz * sgn, nz)
+
+            # tangent-space perturbation from map_Bump
+            bump_f = _mat_const(
+                scene, gb.mat,
+                lambda k: scene.mat_bump[k].astype(jnp.float32))
+            has_bump = bump_f >= 0.0
+            bid = jnp.maximum(bump_f, 0.0).astype(jnp.int32)
+            b_h = _mat_const(scene, gb.mat, lambda k: scene.tex_hw[
+                jnp.maximum(scene.mat_bump[k], 0), 0].astype(jnp.float32))
+            b_w = _mat_const(scene, gb.mat, lambda k: scene.tex_hw[
+                jnp.maximum(scene.mat_bump[k], 0), 1].astype(jnp.float32))
+            br, bg_, bb_ = sample_packed_texture(
+                scene, bid, th, tw, b_h, b_w, tex_u, tex_v,
+                interpret=interpret)
+            ntx, nty, ntz = 2.0 * br - 1.0, 2.0 * bg_ - 1.0, 2.0 * bb_ - 1.0
+            frame_ok = gb.tx ** 2 + gb.ty ** 2 + gb.tz ** 2 > 1e-12
+            px_ = ntx * gb.tx + nty * gb.bx + ntz * nx
+            py_ = ntx * gb.ty + nty * gb.by + ntz * ny
+            pz_ = ntx * gb.tz + nty * gb.bz + ntz * nz
+            plen = jnp.sqrt(px_ ** 2 + py_ ** 2 + pz_ ** 2)
+            use = has_bump & frame_ok & (plen > 1e-12)
+            plen_s = jnp.where(plen > 1e-12, plen, 1.0)
+            nx = jnp.where(use, px_ / plen_s, nx)
+            ny = jnp.where(use, py_ / plen_s, ny)
+            nz = jnp.where(use, pz_ / plen_s, nz)
+
         tr_, tg_, tb_ = sample_packed_texture(scene, tex_id, th, tw,
                                               hw_h, hw_w, tex_u, tex_v,
                                               interpret=interpret)

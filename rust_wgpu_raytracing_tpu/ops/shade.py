@@ -128,9 +128,9 @@ def shade_mesh_hit(scene: SceneData, face, u, v, n_dot_d, ray_dir, lit=None,
     n = jnp.where(n_dot_d[..., None] > 0.0, -n, n)
 
     if normal_mapping:
-        # BASELINE-added capability: perturb the shading normal by the
-        # interpolated vertex normals if present (the reference never
-        # samples its normal map; we expose smooth shading as the hook).
+        # BASELINE-added capability (the reference ships cube-normal.png
+        # but never samples it): smooth-interpolated vertex normals where
+        # present, then tangent-space perturbation from map_Bump.
         vn3 = scene.tri_vn[face]
         vn = (
             u[..., None] * vn3[..., 0, :]
@@ -141,6 +141,23 @@ def shade_mesh_hit(scene: SceneData, face, u, v, n_dot_d, ray_dir, lit=None,
         vn = jnp.where(has_vn, _normalize(jnp.where(has_vn, vn, 1.0)), n)
         vn = jnp.where(jnp.sum(vn * n, axis=-1, keepdims=True) < 0.0, -vn, vn)
         n = vn
+
+        mat_ids = scene.tri_mat[face]
+        bump_id = scene.mat_bump[mat_ids]
+        has_bump = bump_id >= 0
+        bid = jnp.maximum(bump_id, 0)
+        brgb = sample_texture_bilinear(scene.textures, scene.tex_hw, bid,
+                                       tex_u, tex_v)  # raw values
+        nt = 2.0 * brgb - 1.0
+        tangent = scene.tri_tangent[face]
+        bitangent = scene.tri_bitangent[face]
+        frame_ok = jnp.sum(tangent * tangent, axis=-1, keepdims=True) > 1e-12
+        pert = (nt[..., 0:1] * tangent + nt[..., 1:2] * bitangent
+                + nt[..., 2:3] * n)
+        plen = jnp.sqrt(jnp.sum(pert * pert, axis=-1, keepdims=True))
+        pert = pert / jnp.where(plen > 1e-12, plen, 1.0)
+        use = has_bump[..., None] & frame_ok & (plen > 1e-12)
+        n = jnp.where(use, pert, n)
 
     mat = scene.tri_mat[face]
     tex_id = scene.mat_tex[mat]
