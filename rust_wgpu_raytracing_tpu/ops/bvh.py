@@ -147,9 +147,18 @@ def _delta(codes: np.ndarray, i: int, j: int) -> int:
 
 
 def build_lbvh(codes_sorted: np.ndarray, leaf_lo: np.ndarray,
-               leaf_hi: np.ndarray) -> LBVH:
-    """Karras binary radix tree from SORTED Morton codes + leaf AABBs."""
+               leaf_hi: np.ndarray, use_native: bool = True) -> LBVH:
+    """Karras binary radix tree from SORTED Morton codes + leaf AABBs.
+    Uses the C++ builder (native/rtnative.cpp) when available."""
     n = len(codes_sorted)
+    if use_native and n > 1:
+        from .. import native as nat
+
+        built = nat.lbvh_build_native(codes_sorted, leaf_lo, leaf_hi)
+        if built is not None:
+            left, right, parent, node_lo, node_hi = built
+            return LBVH(left=left, right=right, parent=parent,
+                        node_lo=node_lo, node_hi=node_hi, n_leaves=n)
     assert n >= 1
     if n == 1:
         return LBVH(left=np.zeros(0, np.int32), right=np.zeros(0, np.int32),
