@@ -470,6 +470,7 @@ def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
     dp = dmax[:, None, :]
 
     mixed = (dn <= 0.0) & (dp >= 0.0)
+    zero = (dn == 0.0) & (dp == 0.0)  # parked rays (direction == 0)
     pos = dn > 0.0
     # safe denominators (masked out where unused)
     dp_s = jnp.where(jnp.abs(dp) > 1e-30, dp, 1e-30)
@@ -478,6 +479,8 @@ def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
     # t-range where [t*dn, t*dp] meets [a, b]:
     #   dn,dp > 0: t*dn <= b AND t*dp >= a  ->  t in [a/dp if a>0, b/dn]
     #   dn,dp < 0: t*dn <= b AND t*dp >= a  ->  t in [b/dn if b<0, a/dp]
+    #   dn==dp==0: reachable iff a <= 0 <= b (rays parked at a far
+    #   origin with zero direction are culled entirely)
     lo_pos = jnp.where(a > 0.0, a / dp_s, 0.0)
     hi_pos = jnp.where(b >= 0.0, b / dn_s, -1.0)
     lo_neg = jnp.where(b < 0.0, b / dn_s, 0.0)
@@ -485,6 +488,7 @@ def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
 
     lo_t = jnp.where(mixed, 0.0, jnp.where(pos, lo_pos, lo_neg))
     hi_t = jnp.where(mixed, jnp.inf, jnp.where(pos, hi_pos, hi_neg))
+    hi_t = jnp.where(zero & ~((a <= 0.0) & (b >= 0.0)), -1.0, hi_t)
 
     box_ok = jnp.all(b >= a, axis=2)
     t0 = jnp.max(lo_t, axis=2)
@@ -995,11 +999,16 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         w_ar, w_ag, w_ab, w_t, w_nx, w_ny, w_nz, w_lx, w_ly, w_lz = state[4:]
         ll = jnp.sqrt(w_lx * w_lx + w_ly * w_ly + w_lz * w_lz)
         ll = jnp.where(ll > 0, ll, 1.0)
-        sdx, sdy, sdz = -w_lx / ll, -w_ly / ll, -w_lz / ll
+        # park uncovered pixels' shadow rays: far origin + zero direction
+        # lets the tile cull mask drop whole (tile, cluster) steps
+        far = 1e9
+        sdx = jnp.where(covered, -w_lx / ll, 0.0)
+        sdy = jnp.where(covered, -w_ly / ll, 0.0)
+        sdz = jnp.where(covered, -w_lz / ll, 0.0)
         ts = jnp.where(covered, w_t, 0.0)
-        px = origin[0] + dx * ts + w_nx * 1e-3
-        py = origin[1] + dy * ts + w_ny * 1e-3
-        pz = origin[2] + dz * ts + w_nz * 1e-3
+        px = jnp.where(covered, origin[0] + dx * ts + w_nx * 1e-3, far)
+        py = jnp.where(covered, origin[1] + dy * ts + w_ny * 1e-3, far)
+        pz = jnp.where(covered, origin[2] + dz * ts + w_nz * 1e-3, far)
         occ = jnp.zeros((r,), bool)
         if has_mesh:
             occ = anyhit_pallas(scene, px, py, pz, sdx, sdy, sdz, covered,
