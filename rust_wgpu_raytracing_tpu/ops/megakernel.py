@@ -135,48 +135,20 @@ def _row1(ref):
     return ref[:].reshape(1, -1)  # 1D (TILE_R,) block -> (1, TILE_R)
 
 
-def _make_closest_hit_kernel(with_nm: bool):
-    """Kernel factory: with_nm=True adds 9 outputs (interpolated vertex
-    normal + per-face tangent/bitangent) for the normal-mapping path."""
+def _make_closest_hit_kernel(with_nm: bool, block_f: int):
+    """Kernel factory (grid = ray tiles ONLY; the face-cluster loop runs
+    INSIDE the kernel over the fully-VMEM-resident face pack — grid-step
+    overhead is ~0.75us/step on v5e, and looping in-kernel removes the
+    (tiles x clusters - tiles) extra steps). with_nm=True adds 9 outputs
+    (interpolated vertex normal + per-face tangent/bitangent)."""
 
     def kernel(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref, oterm_ref,
                *outs):
         (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
          nx_ref, ny_ref, nz_ref, mat_ref) = outs[:11]
         nm_refs = outs[11:] if with_nm else ()
-        _closest_hit_body(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
-                          oterm_ref, t_ref, face_ref, u_ref, v_ref, nd_ref,
-                          uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref,
-                          nm_refs)
 
-    return kernel
-
-
-def _closest_hit_body(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
-                      oterm_ref,
-                      t_ref, face_ref, u_ref, v_ref, nd_ref,
-                      uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref,
-                      nm_refs=()):
-    """One (ray_tile, face_block) grid step: intersect + winner picks.
-
-    Rays on lanes ((1, TILE_R) rows), faces on sublanes ((BLOCK_F, 1)
-    columns). Padding faces have N == 0 and fail |N.D| >= eps by
-    construction (matches the reference's parallel reject,
-    triangle_list/compute.wgsl:93-96). Outputs are 1D (TILE_R,) blocks
-    accumulated across face blocks; Morton-order face indices ascend with
-    the block index, so a strict < merge keeps the first-encountered face
-    on exact ties (the reference's update rule,
-    triangle_list/compute.wgsl:198, modulo Morton reordering).
-
-    mask_ref is the full (tiles, clusters) cull-verdict array, scalar-
-    prefetched to SMEM: masked steps skip ALL vector work (the tile's
-    ray cone provably misses this cluster's AABB — see ops/bvh.py).
-    """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
+        i = pl.program_id(0)
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         for r in (face_ref,):
             r[:] = jnp.zeros_like(r)
@@ -184,114 +156,119 @@ def _closest_hit_body(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref,
                   nz_ref, mat_ref) + tuple(nm_refs):
             r[:] = jnp.zeros_like(r)
 
-    @pl.when(mask_ref[i, j] > 0)
-    def _body():
         dx = _row1(dx_ref)  # (1, TILE_R)
         dy = _row1(dy_ref)
         dz = _row1(dz_ref)
-        g = fpack_ref
-        o = oterm_ref
+        nb = mask_ref.shape[1]
 
-        ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
-        t = _col(o, 0) / ndotd
-        h0 = _col(o, 1) + t * (_col(g, 3) * dx + _col(g, 4) * dy
-                               + _col(g, 5) * dz)
-        h1 = _col(o, 2) + t * (_col(g, 6) * dx + _col(g, 7) * dy
-                               + _col(g, 8) * dz)
-        h2 = _col(o, 3) + t * (_col(g, 9) * dx + _col(g, 10) * dy
-                               + _col(g, 11) * dz)
+        def block(jj, carry):
+            @pl.when(mask_ref[i, jj] > 0)
+            def _():
+                base = pl.multiple_of(jj * block_f, block_f)
+                g = fpack_ref[pl.ds(base, block_f), :]
+                o = oterm_ref[pl.ds(base, block_f), :]
+                _ch_block(g, o, dx, dy, dz, jj * block_f,
+                          t_ref, face_ref, u_ref, v_ref, nd_ref,
+                          uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
+                          mat_ref, nm_refs)
+            return carry
 
-        valid = (
-            (jnp.abs(ndotd) >= K_EPSILON)
-            & (t >= 0.0)
-            & (h0 >= 0.0)
-            & (h1 >= 0.0)
-            & (h2 >= 0.0)
-        )
-        tm = jnp.where(valid, t, F32_INF)
+        jax.lax.fori_loop(0, nb, block, 0)
 
-        # block-local winner (min t; first face in block order on ties)
-        block_f = tm.shape[0]
-        tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, TILE_R)
-        face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-        idx_blk = jnp.min(
-            jnp.where(tm == tmin, face_ids, INT_MISS), axis=0, keepdims=True)
-        win = face_ids == idx_blk  # at most one True per column
-
-        def pick(m):
-            # winner-masked reduction over faces -> (1, TILE_R). MUST be
-            # a select, not win*m: padding faces carry NaN (0/0 plane
-            # math) and 0*NaN would poison the sum.
-            return jnp.sum(jnp.where(win, m, 0.0), axis=0, keepdims=True)
-
-        invd = _col(g, _C_INVD)
-        u_n = h1 * invd
-        v_n = h2 * invd
-        w_n = 1.0 - u_n - v_n
-        uvx_m = (u_n * _col(g, _C_UV) + v_n * _col(g, _C_UV + 2)
-                 + w_n * _col(g, _C_UV + 4))
-        uvy_m = (u_n * _col(g, _C_UV + 1) + v_n * _col(g, _C_UV + 3)
-                 + w_n * _col(g, _C_UV + 5))
-
-        u_blk = pick(u_n)
-        v_blk = pick(v_n)
-        nd_blk = pick(ndotd)
-        uvx_blk = pick(uvx_m)
-        uvy_blk = pick(uvy_m)
-        nx_blk = pick(jnp.broadcast_to(_col(g, _C_UN), tm.shape))
-        ny_blk = pick(jnp.broadcast_to(_col(g, _C_UN + 1), tm.shape))
-        nz_blk = pick(jnp.broadcast_to(_col(g, _C_UN + 2), tm.shape))
-        mat_blk = pick(jnp.broadcast_to(_col(g, _C_MAT), tm.shape))
-
-        better = (tmin < _row1(t_ref)).reshape(-1)  # (TILE_R,)
-
-        def merge(ref, new):
-            ref[:] = jnp.where(better, new.reshape(-1), ref[:])
-
-        merge(t_ref, tmin)
-        # face ids are GLOBAL indices into the Morton-sorted soup — the
-        # same id space the oracle's argmin yields (both operate on the
-        # sorted SceneData); use tri_orig to translate to pre-sort ids.
-        merge(face_ref, idx_blk + j * block_f)
-        merge(u_ref, u_blk)
-        merge(v_ref, v_blk)
-        merge(nd_ref, nd_blk)
-        merge(uvx_ref, uvx_blk)
-        merge(uvy_ref, uvy_blk)
-        merge(nx_ref, nx_blk)
-        merge(ny_ref, ny_blk)
-        merge(nz_ref, nz_blk)
-        merge(mat_ref, mat_blk)
-
-        if nm_refs:
-            # interpolated vertex normal + per-face tangent frame
-            vn = []
-            for ax in range(3):
-                vn_m = (u_n * _col(g, _C_VN + ax)
-                        + v_n * _col(g, _C_VN + 3 + ax)
-                        + w_n * _col(g, _C_VN + 6 + ax))
-                vn.append(pick(vn_m))
-            tb = [pick(jnp.broadcast_to(_col(g, _C_TAN + k), tm.shape))
-                  for k in range(6)]
-            for ref, val in zip(nm_refs, vn + tb):
-                merge(ref, val)
+    return kernel
 
 
-def _closest_hit_perray_kernel(mask_ref, dx_ref, dy_ref, dz_ref,
-                               ox_ref, oy_ref, oz_ref, fpack_ref, dc_ref,
-                               t_ref, face_ref, u_ref, v_ref, nd_ref,
-                               uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
-                               mat_ref):
+def _ch_block(g, o, dx, dy, dz, face_base,
+              t_ref, face_ref, u_ref, v_ref, nd_ref,
+              uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref, nm_refs):
+    """Intersect one face block (values g/o, shapes (BF, COLS)) against
+    the tile's rays and merge winners into the output refs."""
+
+    def col(m, k):
+        return m[:, k:k + 1]
+
+    ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
+    t = col(o, 0) / ndotd
+    h0 = col(o, 1) + t * (col(g, 3) * dx + col(g, 4) * dy + col(g, 5) * dz)
+    h1 = col(o, 2) + t * (col(g, 6) * dx + col(g, 7) * dy + col(g, 8) * dz)
+    h2 = col(o, 3) + t * (col(g, 9) * dx + col(g, 10) * dy
+                          + col(g, 11) * dz)
+
+    valid = (
+        (jnp.abs(ndotd) >= K_EPSILON)
+        & (t >= 0.0)
+        & (h0 >= 0.0)
+        & (h1 >= 0.0)
+        & (h2 >= 0.0)
+    )
+    tm = jnp.where(valid, t, F32_INF)
+
+    # block-local winner (min t; first face in block order on ties; the
+    # strict < merge keeps earlier blocks on cross-block ties — the
+    # reference's update rule, triangle_list/compute.wgsl:198, in Morton
+    # face order)
+    tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, TILE_R)
+    face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+    idx_blk = jnp.min(
+        jnp.where(tm == tmin, face_ids, INT_MISS), axis=0, keepdims=True)
+    win = face_ids == idx_blk  # at most one True per column
+
+    def pick(m):
+        # MUST be a select, not win*m: padding faces carry NaN (0/0
+        # plane math) and 0*NaN would poison the sum.
+        return jnp.sum(jnp.where(win, m, 0.0), axis=0, keepdims=True)
+
+    invd = col(g, _C_INVD)
+    u_n = h1 * invd
+    v_n = h2 * invd
+    w_n = 1.0 - u_n - v_n
+    uvx_m = (u_n * col(g, _C_UV) + v_n * col(g, _C_UV + 2)
+             + w_n * col(g, _C_UV + 4))
+    uvy_m = (u_n * col(g, _C_UV + 1) + v_n * col(g, _C_UV + 3)
+             + w_n * col(g, _C_UV + 5))
+
+    better = (tmin < _row1(t_ref)).reshape(-1)  # (TILE_R,)
+
+    def merge(ref, new):
+        ref[:] = jnp.where(better, new.reshape(-1), ref[:])
+
+    merge(t_ref, tmin)
+    merge(face_ref, idx_blk + face_base)
+    merge(u_ref, pick(u_n))
+    merge(v_ref, pick(v_n))
+    merge(nd_ref, pick(ndotd))
+    merge(uvx_ref, pick(uvx_m))
+    merge(uvy_ref, pick(uvy_m))
+    merge(nx_ref, pick(jnp.broadcast_to(col(g, _C_UN), tm.shape)))
+    merge(ny_ref, pick(jnp.broadcast_to(col(g, _C_UN + 1), tm.shape)))
+    merge(nz_ref, pick(jnp.broadcast_to(col(g, _C_UN + 2), tm.shape)))
+    merge(mat_ref, pick(jnp.broadcast_to(col(g, _C_MAT), tm.shape)))
+
+    if nm_refs:
+        vn = []
+        for ax in range(3):
+            vn_m = (u_n * col(g, _C_VN + ax)
+                    + v_n * col(g, _C_VN + 3 + ax)
+                    + w_n * col(g, _C_VN + 6 + ax))
+            vn.append(pick(vn_m))
+        tb = [pick(jnp.broadcast_to(col(g, _C_TAN + k), tm.shape))
+              for k in range(6)]
+        for ref, val in zip(nm_refs, vn + tb):
+            merge(ref, val)
+
+
+def _make_closest_hit_perray_kernel(block_f: int):
     """Closest-hit with PER-RAY origins (secondary/bounce rays for the
-    path tracer). Same structure as _closest_hit_kernel but the origin
-    terms are computed per (face, ray) from planar origin rows; hits
-    closer than the self-intersection epsilon 1e-3 are rejected.
-    Terminated paths carry dirs == 0 and can never hit."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    path tracer). Same in-kernel-loop structure as the shared-origin
+    kernel but origin terms are computed per (face, ray) from planar
+    origin rows; hits closer than the self-intersection epsilon 1e-3 are
+    rejected. Terminated paths carry dirs == 0 and can never hit."""
 
-    @pl.when(j == 0)
-    def _init():
+    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
+               fpack_ref, dc_ref,
+               t_ref, face_ref, u_ref, v_ref, nd_ref,
+               uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref):
+        i = pl.program_id(0)
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         for r in (face_ref,):
             r[:] = jnp.zeros_like(r)
@@ -299,115 +276,145 @@ def _closest_hit_perray_kernel(mask_ref, dx_ref, dy_ref, dz_ref,
                   nz_ref, mat_ref):
             r[:] = jnp.zeros_like(r)
 
-    @pl.when(mask_ref[i, j] > 0)
-    def _body():
         dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
-        g = fpack_ref
+        nb = mask_ref.shape[1]
 
-        ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
-        ndoto = _col(g, 0) * ox + _col(g, 1) * oy + _col(g, 2) * oz
-        t = -(ndoto + _col(dc_ref, 0)) / ndotd
+        def block(jj, carry):
+            @pl.when(mask_ref[i, jj] > 0)
+            def _():
+                base = pl.multiple_of(jj * block_f, block_f)
+                g = fpack_ref[pl.ds(base, block_f), :]
+                dc = dc_ref[pl.ds(base, block_f), :]
 
-        def hplane(k, c):
-            og = (_col(g, k) * ox + _col(g, k + 1) * oy + _col(g, k + 2) * oz
-                  - _col(dc_ref, c))
-            dg = _col(g, k) * dx + _col(g, k + 1) * dy + _col(g, k + 2) * dz
-            return og + t * dg
+                def col(m, k):
+                    return m[:, k:k + 1]
 
-        h0 = hplane(3, 1)
-        h1 = hplane(6, 2)
-        h2 = hplane(9, 3)
+                ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
+                ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
+                t = -(ndoto + col(dc, 0)) / ndotd
 
-        valid = (
-            (jnp.abs(ndotd) >= K_EPSILON)
-            & (t >= 1e-3)
-            & (h0 >= 0.0)
-            & (h1 >= 0.0)
-            & (h2 >= 0.0)
-        )
-        tm = jnp.where(valid, t, F32_INF)
+                def hplane(k, c):
+                    og = (col(g, k) * ox + col(g, k + 1) * oy
+                          + col(g, k + 2) * oz - col(dc, c))
+                    dg = (col(g, k) * dx + col(g, k + 1) * dy
+                          + col(g, k + 2) * dz)
+                    return og + t * dg
 
-        block_f = tm.shape[0]
-        tmin = jnp.min(tm, axis=0, keepdims=True)
-        face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-        idx_blk = jnp.min(
-            jnp.where(tm == tmin, face_ids, INT_MISS), axis=0, keepdims=True)
-        win = face_ids == idx_blk
+                h0 = hplane(3, 1)
+                h1 = hplane(6, 2)
+                h2 = hplane(9, 3)
 
-        def pick(m):
-            return jnp.sum(jnp.where(win, m, 0.0), axis=0, keepdims=True)
+                valid = (
+                    (jnp.abs(ndotd) >= K_EPSILON)
+                    & (t >= 1e-3)
+                    & (h0 >= 0.0)
+                    & (h1 >= 0.0)
+                    & (h2 >= 0.0)
+                )
+                tm = jnp.where(valid, t, F32_INF)
 
-        invd = _col(g, _C_INVD)
-        u_n = h1 * invd
-        v_n = h2 * invd
-        w_n = 1.0 - u_n - v_n
-        uvx_m = (u_n * _col(g, _C_UV) + v_n * _col(g, _C_UV + 2)
-                 + w_n * _col(g, _C_UV + 4))
-        uvy_m = (u_n * _col(g, _C_UV + 1) + v_n * _col(g, _C_UV + 3)
-                 + w_n * _col(g, _C_UV + 5))
+                tmin = jnp.min(tm, axis=0, keepdims=True)
+                face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+                idx_blk = jnp.min(
+                    jnp.where(tm == tmin, face_ids, INT_MISS), axis=0,
+                    keepdims=True)
+                win = face_ids == idx_blk
 
-        better = (tmin < _row1(t_ref)).reshape(-1)
+                def pick(m):
+                    return jnp.sum(jnp.where(win, m, 0.0), axis=0,
+                                   keepdims=True)
 
-        def merge(ref, new):
-            ref[:] = jnp.where(better, new.reshape(-1), ref[:])
+                invd = col(g, _C_INVD)
+                u_n = h1 * invd
+                v_n = h2 * invd
+                w_n = 1.0 - u_n - v_n
+                uvx_m = (u_n * col(g, _C_UV) + v_n * col(g, _C_UV + 2)
+                         + w_n * col(g, _C_UV + 4))
+                uvy_m = (u_n * col(g, _C_UV + 1) + v_n * col(g, _C_UV + 3)
+                         + w_n * col(g, _C_UV + 5))
 
-        merge(t_ref, tmin)
-        merge(face_ref, idx_blk + j * block_f)
-        merge(u_ref, pick(u_n))
-        merge(v_ref, pick(v_n))
-        merge(nd_ref, pick(ndotd))
-        merge(uvx_ref, pick(uvx_m))
-        merge(uvy_ref, pick(uvy_m))
-        merge(nx_ref, pick(jnp.broadcast_to(_col(g, _C_UN), tm.shape)))
-        merge(ny_ref, pick(jnp.broadcast_to(_col(g, _C_UN + 1), tm.shape)))
-        merge(nz_ref, pick(jnp.broadcast_to(_col(g, _C_UN + 2), tm.shape)))
-        merge(mat_ref, pick(jnp.broadcast_to(_col(g, _C_MAT), tm.shape)))
+                better = (tmin < _row1(t_ref)).reshape(-1)
+
+                def merge(ref, new):
+                    ref[:] = jnp.where(better, new.reshape(-1), ref[:])
+
+                merge(t_ref, tmin)
+                merge(face_ref, idx_blk + jj * block_f)
+                merge(u_ref, pick(u_n))
+                merge(v_ref, pick(v_n))
+                merge(nd_ref, pick(ndotd))
+                merge(uvx_ref, pick(uvx_m))
+                merge(uvy_ref, pick(uvy_m))
+                merge(nx_ref, pick(jnp.broadcast_to(col(g, _C_UN),
+                                                    tm.shape)))
+                merge(ny_ref, pick(jnp.broadcast_to(col(g, _C_UN + 1),
+                                                    tm.shape)))
+                merge(nz_ref, pick(jnp.broadcast_to(col(g, _C_UN + 2),
+                                                    tm.shape)))
+                merge(mat_ref, pick(jnp.broadcast_to(col(g, _C_MAT),
+                                                     tm.shape)))
+            return carry
+
+        jax.lax.fori_loop(0, nb, block, 0)
+
+    return kernel
 
 
-def _anyhit_kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
-                   act_ref, fpack_ref, dc_ref, occ_ref):
-    """Shadow any-hit with PER-RAY origins (planar). act_ref masks rays
-    that need testing (inactive rays stay unoccluded). dc_ref (F, 8):
-    cols [d, c0, c1, c2, 0...]. occ_ref (TILE_R,) accumulates 0/1.
-    mask_ref: full scalar-prefetched (tiles, clusters) cull verdict, as
-    in the closest-hit kernel."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def _make_anyhit_kernel(block_f: int):
+    """Shadow any-hit with PER-RAY origins (planar, in-kernel cluster
+    loop). act_ref masks rays that need testing (inactive rays stay
+    unoccluded). dc_ref (F, 8): cols [d, c0, c1, c2, 0...]."""
 
-    @pl.when(j == 0)
-    def _init():
+    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
+               act_ref, fpack_ref, dc_ref, occ_ref):
+        i = pl.program_id(0)
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
-    @pl.when(mask_ref[i, j] > 0)
-    def _body():
         dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
-        g = fpack_ref
+        nb = mask_ref.shape[1]
 
-        ndotd = _col(g, 0) * dx + _col(g, 1) * dy + _col(g, 2) * dz
-        ndoto = _col(g, 0) * ox + _col(g, 1) * oy + _col(g, 2) * oz
-        t = -(ndoto + _col(dc_ref, 0)) / ndotd
+        def block(jj, carry):
+            @pl.when(mask_ref[i, jj] > 0)
+            def _():
+                base = pl.multiple_of(jj * block_f, block_f)
+                g = fpack_ref[pl.ds(base, block_f), :]
+                dc = dc_ref[pl.ds(base, block_f), :]
 
-        def edge(k, c):
-            og = (_col(g, k) * ox + _col(g, k + 1) * oy + _col(g, k + 2) * oz
-                  - _col(dc_ref, c))
-            dg = _col(g, k) * dx + _col(g, k + 1) * dy + _col(g, k + 2) * dz
-            return og + t * dg
+                def col(m, k):
+                    return m[:, k:k + 1]
 
-        h0 = edge(3, 1)
-        h1 = edge(6, 2)
-        h2 = edge(9, 3)
+                ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
+                ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
+                t = -(ndoto + col(dc, 0)) / ndotd
 
-        hit = (
-            (jnp.abs(ndotd) >= K_EPSILON)
-            & (t >= 1e-3)
-            & (h0 >= 0.0)
-            & (h1 >= 0.0)
-            & (h2 >= 0.0)
-        )
-        any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0) * act_ref[:]
-        occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
+                def edge(k, c):
+                    og = (col(g, k) * ox + col(g, k + 1) * oy
+                          + col(g, k + 2) * oz - col(dc, c))
+                    dg = (col(g, k) * dx + col(g, k + 1) * dy
+                          + col(g, k + 2) * dz)
+                    return og + t * dg
+
+                h0 = edge(3, 1)
+                h1 = edge(6, 2)
+                h2 = edge(9, 3)
+
+                hit = (
+                    (jnp.abs(ndotd) >= K_EPSILON)
+                    & (t >= 1e-3)
+                    & (h0 >= 0.0)
+                    & (h1 >= 0.0)
+                    & (h2 >= 0.0)
+                )
+                any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0) \
+                    * act_ref[:]
+                occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
+            return carry
+
+        jax.lax.fori_loop(0, nb, block, 0)
+
+    return kernel
 
 
 def _pad1(x, tile, fill=0.0):
@@ -523,8 +530,8 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     mask = _regroup_mask(mask, f, block_f)
 
     n_out = 20 if with_nm else 11
-    grid = (r // tile_r, f // block_f)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, j, m: (i,),
+    grid = (r // tile_r,)  # face-cluster loop runs inside the kernel
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
                             memory_space=pltpu.VMEM)
     out_specs = [ray_spec] * n_out
     out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
@@ -536,15 +543,15 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
         grid=grid,
         in_specs=[
             ray_spec, ray_spec, ray_spec,
-            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j, m: (j, 0),
+            pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_f, 8), lambda i, j, m: (j, 0),
+            pl.BlockSpec((f, 8), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        _make_closest_hit_kernel(with_nm),
+        _make_closest_hit_kernel(with_nm, block_f),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -583,8 +590,8 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
     mask = tile_cull_mask(scene, oxp, oyp, ozp, dxp, dyp, dzp, tile_r)
     mask = _regroup_mask(mask, f, block_f)
 
-    grid = (r // tile_r, f // block_f)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, j, m: (i,),
+    grid = (r // tile_r,)
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
                             memory_space=pltpu.VMEM)
     out_specs = [ray_spec] * 11
     out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(11)]
@@ -594,15 +601,15 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[ray_spec] * 6 + [
-            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j, m: (j, 0),
+            pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_f, 8), lambda i, j, m: (j, 0),
+            pl.BlockSpec((f, 8), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        _closest_hit_perray_kernel,
+        _make_closest_hit_perray_kernel(block_f),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -636,22 +643,22 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
     mask = tile_cull_mask(scene, oxp, oyp, ozp, dxp, dyp, dzp, tile_r)
     mask = _regroup_mask(mask, f, block_f)
 
-    grid = (r // tile_r, f // block_f)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, j, m: (i,),
+    grid = (r // tile_r,)
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[ray_spec] * 7 + [
-            pl.BlockSpec((block_f, FPACK_COLS), lambda i, j, m: (j, 0),
+            pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_f, 8), lambda i, j, m: (j, 0),
+            pl.BlockSpec((f, 8), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=ray_spec,
     )
     occ = pl.pallas_call(
-        _anyhit_kernel,
+        _make_anyhit_kernel(block_f),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
         interpret=interpret,
