@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark all five BASELINE configs on the current device.
+
+Prints one JSON object per config (bench.py remains the driver's
+single-line headline metric).
+"""
+
+import dataclasses as dc
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import numpy as np
+
+
+def bench_one(name, frame_fn, width, height, n=10, rays_factor=1.0):
+    import jax
+
+    from rust_wgpu_raytracing_tpu.runtime.profiler import time_frames
+
+    try:
+        ms = time_frames(frame_fn, n=n, warmup=1)
+    except Exception as e:  # config too big for this chip etc.
+        print(json.dumps({"config": name, "error": str(e)[:200]}))
+        return
+    rays = width * height * rays_factor
+    print(json.dumps({
+        "config": name,
+        "frame_ms": round(ms, 3),
+        "mrays_per_s": round(rays / ms / 1e3, 1),
+        "size": [width, height],
+    }))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rust_wgpu_raytracing_tpu.config import (CameraConfig, MeshConfig,
+                                                 RenderConfig, SceneConfig,
+                                                 cube_scene, reference_scene)
+    from rust_wgpu_raytracing_tpu.core.camera import Camera
+    from rust_wgpu_raytracing_tpu.core.scene import Scene
+    from rust_wgpu_raytracing_tpu.ops.instances import (InstancedScene,
+                                                        grid_transforms)
+    from rust_wgpu_raytracing_tpu.ops.megakernel import render_megakernel
+    from rust_wgpu_raytracing_tpu.ops.pathtrace import render_pathtrace
+
+    on_tpu = jax.default_backend() == "tpu"
+    interp = not on_tpu
+
+    def uni_for(cfg, w, h):
+        cam = Camera.from_config(cfg.camera, aspect=w / h)
+        return jnp.asarray(cam.uniforms().flat())
+
+    # 1. cube 256x256 primary-ray brute force
+    w = h = 256
+    cfg = cube_scene(w, h)
+    sd = Scene.build(cfg).data
+    uni = uni_for(cfg, w, h)
+    bench_one("1_cube_256_primary",
+              lambda: render_megakernel(sd, uni, width=w, height=h,
+                                        interpret=interp), w, h)
+
+    # 2. suzanne + normal mapping, 512x512, orbit camera
+    w = h = 512
+    cfg = SceneConfig(
+        meshes=(MeshConfig(obj_path="suzanne_lowpoly.obj",
+                           normal_mapping=True),),
+        camera=CameraConfig(eye=(0.0, 0.0, 2.5)),
+        render=RenderConfig(width=w, height=h))
+    sd2 = Scene.build(cfg).data
+    uni2 = uni_for(cfg, w, h)
+    bench_one("2_suzanne_nm_512",
+              lambda: render_megakernel(sd2, uni2, width=w, height=h,
+                                        normal_mapping=True,
+                                        interpret=interp), w, h)
+
+    # 3. cube + suzanne combined, shadows, 1080p
+    w, h = 1920, 1080
+    cfg = SceneConfig(
+        meshes=(MeshConfig(obj_path="suzanne_lowpoly.obj"),
+                MeshConfig(obj_path="cube.obj", translation=(0.0, -2.2, 0.0),
+                           scale=1.2)),
+        camera=CameraConfig(eye=(0.0, 0.5, 3.0)),
+        render=RenderConfig(width=w, height=h, shadows=True))
+    sd3 = Scene.build(cfg).data
+    uni3 = uni_for(cfg, w, h)
+    bench_one("3_combined_1080p_shadows",
+              lambda: render_megakernel(sd3, uni3, width=w, height=h,
+                                        shadows=True, interpret=interp),
+              w, h, rays_factor=2.0)
+
+    # 4. path-traced suzanne, 4 bounces, 1080p (per 1-spp progressive frame)
+    w, h = 1920, 1080
+    cfg = reference_scene(w, h)
+    cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
+    sd4 = Scene.build(cfg).data
+    uni4 = uni_for(cfg, w, h)
+    key = jax.random.PRNGKey(0)
+    bench_one("4_pathtrace_1080p_4bounce_1spp",
+              lambda: render_pathtrace(sd4, uni4, key, width=w, height=h,
+                                       bounces=4, spp=1, interpret=interp),
+              w, h, rays_factor=10.0)  # ~5 segments + 5 shadow rays
+
+    # 5. 64-instance suzanne field with per-frame refit (stretch: 4K)
+    inst = InstancedScene.from_config(
+        MeshConfig(obj_path="suzanne_lowpoly.obj"), 64)
+    for w, h, tag in ((3840, 2160, "4k"), (1920, 1080, "1080p")):
+        cfg5 = SceneConfig(camera=CameraConfig(eye=(0.0, 0.0, 18.0)),
+                           render=RenderConfig(width=w, height=h))
+        uni5 = uni_for(cfg5, w, h)
+        angle = [0.0]
+
+        def frame5():
+            angle[0] += 0.05
+            sd = inst.instantiate(grid_transforms(
+                64, spacing=2.5, z=-6.0, angle=angle[0]))
+            return render_megakernel(sd, uni5, width=w, height=h,
+                                     interpret=interp)
+
+        bench_one(f"5_instances64_refit_{tag}", frame5, w, h, n=5)
+        break  # 4K first; fall through handled by error reporting
+
+
+if __name__ == "__main__":
+    main()

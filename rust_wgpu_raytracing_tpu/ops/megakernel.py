@@ -135,7 +135,8 @@ def _row1(ref):
     return ref[:].reshape(1, -1)  # 1D (TILE_R,) block -> (1, TILE_R)
 
 
-def _make_closest_hit_kernel(with_nm: bool, block_f: int):
+def _make_closest_hit_kernel(with_nm: bool, block_f: int, n_blocks: int,
+                             nwords: int):
     """Kernel factory (grid = ray tiles ONLY; the face-cluster loop runs
     INSIDE the kernel over the fully-VMEM-resident face pack — grid-step
     overhead is ~0.75us/step on v5e, and looping in-kernel removes the
@@ -159,10 +160,10 @@ def _make_closest_hit_kernel(with_nm: bool, block_f: int):
         dx = _row1(dx_ref)  # (1, TILE_R)
         dy = _row1(dy_ref)
         dz = _row1(dz_ref)
-        nb = mask_ref.shape[1]
+        nb = n_blocks
 
         def block(jj, carry):
-            @pl.when(mask_ref[i, jj] > 0)
+            @pl.when(_mask_bit(mask_ref, nwords, i, jj) > 0)
             def _():
                 base = pl.multiple_of(jj * block_f, block_f)
                 g = fpack_ref[pl.ds(base, block_f), :]
@@ -257,7 +258,8 @@ def _ch_block(g, o, dx, dy, dz, face_base,
             merge(ref, val)
 
 
-def _make_closest_hit_perray_kernel(block_f: int):
+def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int,
+                                    nwords: int):
     """Closest-hit with PER-RAY origins (secondary/bounce rays for the
     path tracer). Same in-kernel-loop structure as the shared-origin
     kernel but origin terms are computed per (face, ray) from planar
@@ -278,10 +280,10 @@ def _make_closest_hit_perray_kernel(block_f: int):
 
         dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
-        nb = mask_ref.shape[1]
+        nb = n_blocks
 
         def block(jj, carry):
-            @pl.when(mask_ref[i, jj] > 0)
+            @pl.when(_mask_bit(mask_ref, nwords, i, jj) > 0)
             def _():
                 base = pl.multiple_of(jj * block_f, block_f)
                 g = fpack_ref[pl.ds(base, block_f), :]
@@ -361,7 +363,7 @@ def _make_closest_hit_perray_kernel(block_f: int):
     return kernel
 
 
-def _make_anyhit_kernel(block_f: int):
+def _make_anyhit_kernel(block_f: int, n_blocks: int, nwords: int):
     """Shadow any-hit with PER-RAY origins (planar, in-kernel cluster
     loop). act_ref masks rays that need testing (inactive rays stay
     unoccluded). dc_ref (F, 8): cols [d, c0, c1, c2, 0...]."""
@@ -373,10 +375,10 @@ def _make_anyhit_kernel(block_f: int):
 
         dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
-        nb = mask_ref.shape[1]
+        nb = n_blocks
 
         def block(jj, carry):
-            @pl.when(mask_ref[i, jj] > 0)
+            @pl.when(_mask_bit(mask_ref, nwords, i, jj) > 0)
             def _():
                 base = pl.multiple_of(jj * block_f, block_f)
                 g = fpack_ref[pl.ds(base, block_f), :]
@@ -435,6 +437,32 @@ def _regroup_mask(mask, f, block_f):
         return mask.reshape(mask.shape[0], -1, block_f // cull).max(axis=2)
     assert cull % block_f == 0
     return jnp.repeat(mask, cull // block_f, axis=1)
+
+
+def _pack_mask_bits(mask):
+    """Pack a (tiles, nb) 0/1 i32 mask into (tiles, ceil(nb/32)) i32
+    bitfields — SMEM holds ~1 MB and scalar-prefetched masks for large
+    scenes (64-instance fields at 4K: 8100 tiles x 256 clusters) would
+    need 8 MB unpacked."""
+    t, nb = mask.shape
+    nw = -(-nb // 32)
+    pad = nw * 32 - nb
+    if pad:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((t, pad), mask.dtype)], axis=1)
+    bits = mask.reshape(t, nw, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(bits * weights[None, None, :], axis=2)
+    # FLATTENED to 1-D: SMEM pads the last dim of 2-D scalar arrays to
+    # 128 lanes (4 MB for an 8100x8 mask) — 1-D stays compact.
+    return words.astype(jnp.int32).reshape(-1), nw
+
+
+def _mask_bit(mask_ref, nwords, i, jj):
+    """Extract cluster jj's activity bit for tile i from the packed 1-D
+    bitfield (in-kernel, SMEM scalar reads)."""
+    word = mask_ref[i * nwords + jj // 32]
+    return (word >> (jj % 32)) & 1
 
 
 def _tile_bounds(x, tile_r):
@@ -527,7 +555,7 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
 
     mask = tile_cull_mask(scene, origin[0], origin[1], origin[2],
                           dx, dy, dz, tile_r)
-    mask = _regroup_mask(mask, f, block_f)
+    mask, nwords = _pack_mask_bits(_regroup_mask(mask, f, block_f))
 
     n_out = 20 if with_nm else 11
     grid = (r // tile_r,)  # face-cluster loop runs inside the kernel
@@ -551,7 +579,7 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        _make_closest_hit_kernel(with_nm, block_f),
+        _make_closest_hit_kernel(with_nm, block_f, f // block_f, nwords),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -588,7 +616,7 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
 
     dxp, dyp, dzp, oxp, oyp, ozp = planes
     mask = tile_cull_mask(scene, oxp, oyp, ozp, dxp, dyp, dzp, tile_r)
-    mask = _regroup_mask(mask, f, block_f)
+    mask, nwords = _pack_mask_bits(_regroup_mask(mask, f, block_f))
 
     grid = (r // tile_r,)
     ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
@@ -609,7 +637,7 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        _make_closest_hit_perray_kernel(block_f),
+        _make_closest_hit_perray_kernel(block_f, f // block_f, nwords),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -641,7 +669,7 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
 
     dxp, dyp, dzp, oxp, oyp, ozp = args
     mask = tile_cull_mask(scene, oxp, oyp, ozp, dxp, dyp, dzp, tile_r)
-    mask = _regroup_mask(mask, f, block_f)
+    mask, nwords = _pack_mask_bits(_regroup_mask(mask, f, block_f))
 
     grid = (r // tile_r,)
     ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
@@ -658,7 +686,7 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
         out_specs=ray_spec,
     )
     occ = pl.pallas_call(
-        _make_anyhit_kernel(block_f),
+        _make_anyhit_kernel(block_f, f // block_f, nwords),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
         interpret=interpret,
