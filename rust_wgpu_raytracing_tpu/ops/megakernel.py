@@ -162,19 +162,16 @@ def _make_closest_hit_kernel(with_nm: bool, block_f: int, n_blocks: int,
         dz = _row1(dz_ref)
         nb = n_blocks
 
-        def block(jj, carry):
-            @pl.when(_mask_bit(mask_ref, nwords, i, jj) > 0)
-            def _():
-                base = pl.multiple_of(jj * block_f, block_f)
-                g = fpack_ref[pl.ds(base, block_f), :]
-                o = oterm_ref[pl.ds(base, block_f), :]
-                _ch_block(g, o, dx, dy, dz, jj * block_f,
-                          t_ref, face_ref, u_ref, v_ref, nd_ref,
-                          uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
-                          mat_ref, nm_refs)
-            return carry
+        def visit(jj):
+            base = pl.multiple_of(jj * block_f, block_f)
+            g = fpack_ref[pl.ds(base, block_f), :]
+            o = oterm_ref[pl.ds(base, block_f), :]
+            _ch_block(g, o, dx, dy, dz, jj * block_f,
+                      t_ref, face_ref, u_ref, v_ref, nd_ref,
+                      uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
+                      mat_ref, nm_refs)
 
-        jax.lax.fori_loop(0, nb, block, 0)
+        _mask_word_loop(mask_ref, nwords, nb, i, visit)
 
     return kernel
 
@@ -282,9 +279,8 @@ def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int,
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
         nb = n_blocks
 
-        def block(jj, carry):
-            @pl.when(_mask_bit(mask_ref, nwords, i, jj) > 0)
-            def _():
+        def visit(jj):
+            if True:
                 base = pl.multiple_of(jj * block_f, block_f)
                 g = fpack_ref[pl.ds(base, block_f), :]
                 dc = dc_ref[pl.ds(base, block_f), :]
@@ -356,9 +352,8 @@ def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int,
                                                     tm.shape)))
                 merge(mat_ref, pick(jnp.broadcast_to(col(g, _C_MAT),
                                                      tm.shape)))
-            return carry
 
-        jax.lax.fori_loop(0, nb, block, 0)
+        _mask_word_loop(mask_ref, nwords, nb, i, visit)
 
     return kernel
 
@@ -377,9 +372,8 @@ def _make_anyhit_kernel(block_f: int, n_blocks: int, nwords: int):
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
         nb = n_blocks
 
-        def block(jj, carry):
-            @pl.when(_mask_bit(mask_ref, nwords, i, jj) > 0)
-            def _():
+        def visit(jj):
+            if True:
                 base = pl.multiple_of(jj * block_f, block_f)
                 g = fpack_ref[pl.ds(base, block_f), :]
                 dc = dc_ref[pl.ds(base, block_f), :]
@@ -412,9 +406,8 @@ def _make_anyhit_kernel(block_f: int, n_blocks: int, nwords: int):
                 any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0) \
                     * act_ref[:]
                 occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
-            return carry
 
-        jax.lax.fori_loop(0, nb, block, 0)
+        _mask_word_loop(mask_ref, nwords, nb, i, visit)
 
     return kernel
 
@@ -463,6 +456,30 @@ def _mask_bit(mask_ref, nwords, i, jj):
     bitfield (in-kernel, SMEM scalar reads)."""
     word = mask_ref[i * nwords + jj // 32]
     return (word >> (jj % 32)) & 1
+
+
+def _mask_word_loop(mask_ref, nwords, nb, i, visit):
+    """In-kernel loop over active clusters: iterate the packed mask one
+    32-bit word at a time, skipping zero words entirely (a tile that
+    sees no geometry costs nb/32 scalar checks instead of nb), and
+    testing bits only inside non-zero words."""
+
+    def word_step(w, carry):
+        word = mask_ref[i * nwords + w]
+
+        @pl.when(word != 0)
+        def _():
+            def bit_step(b, c2):
+                @pl.when(((word >> b) & 1) > 0)
+                def _():
+                    visit(w * 32 + b)
+                return c2
+
+            nbits = jnp.minimum(nb - w * 32, 32)
+            jax.lax.fori_loop(0, nbits, bit_step, 0)
+        return carry
+
+    jax.lax.fori_loop(0, nwords, word_step, 0)
 
 
 def _tile_bounds(x, tile_r):
