@@ -24,13 +24,13 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import numpy as np
 
-from ..config import MeshConfig, SceneConfig, SphereConfig, resolve_asset
-from ..io.obj import ObjMaterial, ObjMesh, load_obj
+from ..config import SceneConfig, resolve_asset
+from ..io.obj import ObjMaterial, load_obj
 from ..io.textures import TextureData, load_texture_file, solid_texture
 
 # Pad face count to a multiple of this so tiles map cleanly onto the VPU/MXU.
