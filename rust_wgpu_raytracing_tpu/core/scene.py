@@ -109,7 +109,18 @@ class SceneData:
     # - the bilinear mix itself runs in a small Pallas kernel
     #   (ops/megakernel.py texfilter) because XLA leaves gather-output
     #   slices unfused (~0.5 ms per stray elementwise op at 1080p).
-    tex_packed: jax.Array  # (12, T*TH*TW) u16, linear fixed-point
+    # COMPACT pools (no per-texture padding): diffuse and bump textures
+    # in separate pools so each gather operand stays under the ~16 MB
+    # VMEM-staging threshold (measured: gathers from operands beyond it
+    # run ~2.2x slower). Per-material base/size planes resolve addressing.
+    tex_packed: jax.Array  # (12, Nd) u16 diffuse pool, linear fixed-point
+    tex_packed_bump: jax.Array  # (12, Nb) u16 bump pool (raw values)
+    mat_tex_base: jax.Array  # (M,) f32 texel offset of the diffuse map
+    mat_tex_h: jax.Array  # (M,) f32
+    mat_tex_w: jax.Array  # (M,) f32
+    mat_bump_base: jax.Array  # (M,) f32 (-1 = no bump map)
+    mat_bump_h: jax.Array  # (M,) f32
+    mat_bump_w: jax.Array  # (M,) f32
 
     # --- normal mapping (BASELINE-added capability; the reference ships
     # cube-normal.png + map_Bump in cube.mtl:13 but never samples it) ---
@@ -322,19 +333,54 @@ class Scene:
         tw = max(t.width for t in textures)
         tex_stack = np.zeros((len(textures), th, tw, 3), np.float32)
         tex_hw = np.zeros((len(textures), 2), np.int32)
-        tex_packed = np.zeros((len(textures), th, tw, 12), np.uint16)
         for i, t in enumerate(textures):
             tex_stack[i, : t.height, : t.width] = t.rgb_linear
             tex_hw[i] = (t.height, t.width)
+
+        def pack_neighborhoods(t: TextureData) -> np.ndarray:
+            """(h*w, 12) u16: each texel's clamped 2x2 neighborhood."""
             lin16 = np.clip(t.rgb_linear * 65535.0 + 0.5, 0,
-                            65535).astype(np.uint16)  # (h,w,3) linear
+                            65535).astype(np.uint16)
             h, w = t.height, t.width
             yy1 = np.minimum(np.arange(h) + 1, h - 1)
             xx1 = np.minimum(np.arange(w) + 1, w - 1)
-            tex_packed[i, :h, :w, 0:3] = lin16
-            tex_packed[i, :h, :w, 3:6] = lin16[:, xx1]
-            tex_packed[i, :h, :w, 6:9] = lin16[yy1, :]
-            tex_packed[i, :h, :w, 9:12] = lin16[yy1][:, xx1]
+            out = np.zeros((h, w, 12), np.uint16)
+            out[:, :, 0:3] = lin16
+            out[:, :, 3:6] = lin16[:, xx1]
+            out[:, :, 6:9] = lin16[yy1, :]
+            out[:, :, 9:12] = lin16[yy1][:, xx1]
+            return out.reshape(-1, 12)
+
+        def build_pool(tex_ids):
+            base = {}
+            chunks = []
+            off = 0
+            for t_id in tex_ids:
+                t = textures[t_id]
+                base[t_id] = off
+                chunks.append(pack_neighborhoods(t))
+                off += t.height * t.width
+            pool = (np.concatenate(chunks, axis=0) if chunks
+                    else np.zeros((1, 12), np.uint16))
+            return np.ascontiguousarray(pool.T), base
+
+        diffuse_ids = sorted(set(mat_tex))
+        bump_ids = sorted(set(b for b in mat_bump if b >= 0))
+        pool_d, base_d = build_pool(diffuse_ids)
+        pool_b, base_b = build_pool(bump_ids)
+
+        m_tex_base = np.array([base_d[t] for t in mat_tex], np.float32)
+        m_tex_h = np.array([textures[t].height for t in mat_tex], np.float32)
+        m_tex_w = np.array([textures[t].width for t in mat_tex], np.float32)
+        m_bump_base = np.array(
+            [base_b.get(b, -1.0) if b >= 0 else -1.0 for b in mat_bump],
+            np.float32)
+        m_bump_h = np.array(
+            [textures[b].height if b >= 0 else 1 for b in mat_bump],
+            np.float32)
+        m_bump_w = np.array(
+            [textures[b].width if b >= 0 else 1 for b in mat_bump],
+            np.float32)
 
         data = SceneData(
             sphere_center=jnp.asarray(s_center),
@@ -368,8 +414,14 @@ class Scene:
             mat_tex=jnp.asarray(np.array(mat_tex, np.int32)),
             textures=jnp.asarray(tex_stack),
             tex_hw=jnp.asarray(tex_hw),
-            tex_packed=jnp.asarray(
-                np.ascontiguousarray(tex_packed.reshape(-1, 12).T)),
+            tex_packed=jnp.asarray(pool_d),
+            tex_packed_bump=jnp.asarray(pool_b),
+            mat_tex_base=jnp.asarray(m_tex_base),
+            mat_tex_h=jnp.asarray(m_tex_h),
+            mat_tex_w=jnp.asarray(m_tex_w),
+            mat_bump_base=jnp.asarray(m_bump_base),
+            mat_bump_h=jnp.asarray(m_bump_h),
+            mat_bump_w=jnp.asarray(m_bump_w),
             tri_tangent=jnp.asarray(_pad_rows(tangent, padded)),
             tri_bitangent=jnp.asarray(_pad_rows(bitangent, padded)),
             mat_bump=jnp.asarray(np.array(mat_bump, np.int32)),

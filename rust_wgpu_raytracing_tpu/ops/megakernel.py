@@ -831,14 +831,15 @@ def _texfilter_pallas(taps, fx, fy, *, tile_r: int = TILE_R,
     return tuple(o[:nrays] for o in outs)
 
 
-def sample_packed_texture(scene: SceneData, tex_id, th, tw, hw_h, hw_w,
-                          u, v, interpret: bool = False):
+def sample_packed_texture(pool, base, hw_h, hw_w, u, v,
+                          interpret: bool = False):
     """ONE narrow gather + Pallas bilinear filter.
 
-    tex_id (R,) i32; hw_h/hw_w (R,) f32 true sizes; u, v (R,) f32 (v
-    already flipped). Clamp-to-edge semantics identical to the oracle's
-    sample_texture_bilinear: the packed texel at the clamped floor
-    coordinate carries its own clamped 2x2 neighborhood (values are
+    pool (12, N) u16 compact texel pool; base (R,) f32 per-ray texel
+    offset of the texture; hw_h/hw_w (R,) f32 true sizes; u, v (R,) f32
+    (v already flipped). Clamp-to-edge semantics identical to the
+    oracle's sample_texture_bilinear: the packed texel at the clamped
+    floor coordinate carries its own clamped 2x2 neighborhood (values
     pre-linearized u16 — see SceneData.tex_packed), and fx/fy are zeroed
     when floor < 0 (left/top edge) so the mix degenerates to the edge
     texel exactly like clamping both taps does.
@@ -852,11 +853,11 @@ def sample_packed_texture(scene: SceneData, tex_id, th, tw, hw_h, hw_w,
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, (hw_w - 1.0).astype(jnp.int32))
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, (hw_h - 1.0).astype(jnp.int32))
 
-    flat = (tex_id * th + y0) * tw + x0  # (R,)
+    flat = base.astype(jnp.int32) + y0 * hw_w.astype(jnp.int32) + x0  # (R,)
     # THE one gather of the frame: (12, R) u16, rays on lanes
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(0,), collapsed_slice_dims=(1,), start_index_map=(1,))
-    taps = jax.lax.gather(scene.tex_packed, flat[:, None], dn,
+    taps = jax.lax.gather(pool, flat[:, None], dn,
                           slice_sizes=(12, 1),
                           mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
     return _texfilter_pallas(taps, fx, fy, interpret=interpret)
@@ -962,17 +963,9 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         ny = jnp.where(flip, -gb.ny, gb.ny)
         nz = jnp.where(flip, -gb.nz, gb.nz)
 
-        tex_id = _mat_const(
-            scene, gb.mat,
-            lambda k: scene.mat_tex[k].astype(jnp.float32)).astype(jnp.int32)
-        hw_h = _mat_const(
-            scene, gb.mat,
-            lambda k: scene.tex_hw[scene.mat_tex[k], 0].astype(jnp.float32))
-        hw_w = _mat_const(
-            scene, gb.mat,
-            lambda k: scene.tex_hw[scene.mat_tex[k], 1].astype(jnp.float32))
-        th = int(scene.textures.shape[1])
-        tw = int(scene.textures.shape[2])
+        tex_base = _mat_const(scene, gb.mat, lambda k: scene.mat_tex_base[k])
+        hw_h = _mat_const(scene, gb.mat, lambda k: scene.mat_tex_h[k])
+        hw_w = _mat_const(scene, gb.mat, lambda k: scene.mat_tex_w[k])
 
         tex_u = gb.uvx
         tex_v = 1.0 - gb.uvy  # V-flip (triangle_list/compute.wgsl:223)
@@ -990,18 +983,14 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
             nz = jnp.where(has_vn, vnz * sgn, nz)
 
             # tangent-space perturbation from map_Bump
-            bump_f = _mat_const(
-                scene, gb.mat,
-                lambda k: scene.mat_bump[k].astype(jnp.float32))
-            has_bump = bump_f >= 0.0
-            bid = jnp.maximum(bump_f, 0.0).astype(jnp.int32)
-            b_h = _mat_const(scene, gb.mat, lambda k: scene.tex_hw[
-                jnp.maximum(scene.mat_bump[k], 0), 0].astype(jnp.float32))
-            b_w = _mat_const(scene, gb.mat, lambda k: scene.tex_hw[
-                jnp.maximum(scene.mat_bump[k], 0), 1].astype(jnp.float32))
+            bump_base = _mat_const(scene, gb.mat,
+                                   lambda k: scene.mat_bump_base[k])
+            has_bump = bump_base >= 0.0
+            b_h = _mat_const(scene, gb.mat, lambda k: scene.mat_bump_h[k])
+            b_w = _mat_const(scene, gb.mat, lambda k: scene.mat_bump_w[k])
             br, bg_, bb_ = sample_packed_texture(
-                scene, bid, th, tw, b_h, b_w, tex_u, tex_v,
-                interpret=interpret)
+                scene.tex_packed_bump, jnp.maximum(bump_base, 0.0),
+                b_h, b_w, tex_u, tex_v, interpret=interpret)
             ntx, nty, ntz = 2.0 * br - 1.0, 2.0 * bg_ - 1.0, 2.0 * bb_ - 1.0
             frame_ok = gb.tx ** 2 + gb.ty ** 2 + gb.tz ** 2 > 1e-12
             px_ = ntx * gb.tx + nty * gb.bx + ntz * nx
@@ -1014,7 +1003,7 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
             ny = jnp.where(use, py_ / plen_s, ny)
             nz = jnp.where(use, pz_ / plen_s, nz)
 
-        tr_, tg_, tb_ = sample_packed_texture(scene, tex_id, th, tw,
+        tr_, tg_, tb_ = sample_packed_texture(scene.tex_packed, tex_base,
                                               hw_h, hw_w, tex_u, tex_v,
                                               interpret=interpret)
 

@@ -123,8 +123,6 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     r = width * height
     has_mesh = scene.num_faces > 0
-    th = int(scene.textures.shape[1])
-    tw = int(scene.textures.shape[2])
     bg = jnp.asarray(background, jnp.float32)
 
     acc_r = jnp.zeros((r,))
@@ -192,16 +190,12 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
 
             # ---- albedo of the winning surface ----
             if gb is not None:
-                tex_id = _mat_const(
-                    scene, gb.mat,
-                    lambda k: scene.mat_tex[k].astype(jnp.float32)
-                ).astype(jnp.int32)
-                hw_h = _mat_const(scene, gb.mat, lambda k: scene.tex_hw[
-                    scene.mat_tex[k], 0].astype(jnp.float32))
-                hw_w = _mat_const(scene, gb.mat, lambda k: scene.tex_hw[
-                    scene.mat_tex[k], 1].astype(jnp.float32))
+                tex_base = _mat_const(scene, gb.mat,
+                                      lambda k: scene.mat_tex_base[k])
+                hw_h = _mat_const(scene, gb.mat, lambda k: scene.mat_tex_h[k])
+                hw_w = _mat_const(scene, gb.mat, lambda k: scene.mat_tex_w[k])
                 ar, ag, ab = sample_packed_texture(
-                    scene, tex_id, th, tw, hw_h, hw_w,
+                    scene.tex_packed, tex_base, hw_h, hw_w,
                     gb.uvx, 1.0 - gb.uvy, interpret=interpret)
                 lx = _mat_const(scene, gb.mat, lambda k: scene.mat_light[k, 0])
                 ly = _mat_const(scene, gb.mat, lambda k: scene.mat_light[k, 1])
