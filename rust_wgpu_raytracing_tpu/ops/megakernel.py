@@ -717,16 +717,23 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
 # ---------------------------------------------------------------------------
 
 
-def raygen_planar(width, height, uni: CameraUniforms):
+def raygen_planar(width, height, uni: CameraUniforms, row0=None,
+                  total_height=None):
     """Planar pixelToRay (sphere/compute.wgsl:87-101): returns dx, dy, dz
     (R,) f32 flat W-major (texel row 0 first), same math/order as
-    ops.raygen.ray_directions."""
+    ops.raygen.ray_directions. row0/total_height select a row-slab
+    viewport of a taller image (multi-chip tile sharding)."""
     proj_inv = jnp.asarray(uni.proj_inv_wgpu, jnp.float32)
     view_inv = jnp.asarray(uni.view_inv, jnp.float32)
     m = jnp.matmul(view_inv[:3, :3], proj_inv[:3, :], precision=HI)
     const = m[:, 2] + m[:, 3]
 
-    x_nds, y_nds = ndc_grid(width, height)
+    th = total_height or height
+    x_nds, _ = ndc_grid(width, th)
+    y_idx = jnp.arange(height, dtype=jnp.float32)
+    if row0 is not None:
+        y_idx = y_idx + row0
+    y_nds = (2.0 * (y_idx + 0.5) / th) - 1.0
     xr = jnp.tile(x_nds, height)  # (R,) W-major
     yr = jnp.repeat(y_nds, width)
 
@@ -879,12 +886,13 @@ def _mat_const(scene: SceneData, mat_f32, getter):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "near", "far", "background", "shadows", "quantize",
-    "normal_mapping", "accel", "interpret"))
+    "normal_mapping", "accel", "interpret", "total_height"))
 def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
                       near: float = 0.01, far: float = 100.0,
                       background=(0.0, 0.0, 0.0), shadows: bool = False,
                       quantize: bool = True, normal_mapping: bool = False,
-                      accel: str = "brute", interpret: bool = False):
+                      accel: str = "brute", interpret: bool = False,
+                      row0=None, total_height: Optional[int] = None):
     """One frame, fully fused under one jit: planar raygen -> sphere
     passes -> Pallas G-buffer -> one-gather texture shade -> composite.
     The reference's whole render() pass DAG (src/lib.rs:1012-1230)
@@ -895,7 +903,8 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     origin = uni.origin
 
-    dx, dy, dz = raygen_planar(width, height, uni)
+    dx, dy, dz = raygen_planar(width, height, uni, row0=row0,
+                               total_height=total_height)
     r = width * height
 
     bg = jnp.asarray(background, jnp.float32)

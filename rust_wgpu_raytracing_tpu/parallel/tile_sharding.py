@@ -144,6 +144,39 @@ def render_sharded(scene: SceneData, uni_flat, mesh: Mesh, *, width: int,
     return color
 
 
+def render_sharded_megakernel(scene: SceneData, uni_flat, mesh: Mesh, *,
+                              width: int, height: int, shadows: bool = False,
+                              quantize: bool = True,
+                              interpret: Optional[bool] = None):
+    """Multi-chip frame on the FAST path: each device runs the full
+    Pallas megakernel frame on its row slab (scene replicated, zero
+    inter-chip traffic until the framebuffer gather). Returns a
+    replicated (H, W, 3) framebuffer."""
+    import jax as _jax
+
+    from ..ops.megakernel import render_megakernel
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    dp = mesh.shape["dp"]
+    assert height % dp == 0
+    rows = height // dp
+
+    def shard_fn(scene_rep, uni_rep):
+        dpi = jax.lax.axis_index("dp")
+        row0 = (dpi * rows).astype(jnp.float32)
+        c, _ = render_megakernel(
+            scene_rep, uni_rep, width=width, height=rows, shadows=shadows,
+            quantize=quantize, interpret=interpret, row0=row0,
+            total_height=height)
+        return c[None]
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P()), out_specs=P("dp"), check_vma=False)
+    tiles = fn(scene, jnp.asarray(uni_flat, jnp.float32))
+    return tiles.reshape(height, width, 3)
+
+
 # ---------------------------------------------------------------------------
 # Inverse rendering: the sharded training step (dp x sp collectives)
 # ---------------------------------------------------------------------------
@@ -234,9 +267,14 @@ def dryrun_multichip(n_devices: int) -> None:
     cam = Camera.from_config(cfg.camera, aspect=W / H)
     uni = cam.uniforms().flat()
 
-    # sharded forward frame
+    # sharded forward frame (oracle path)
     color = render_sharded(scene.data, uni, mesh, width=W, height=H, spp=1)
     assert color.shape == (H, W, 3)
+
+    # sharded forward frame (Pallas megakernel path)
+    color_mk = render_sharded_megakernel(scene.data, uni, mesh,
+                                         width=W, height=H)
+    assert color_mk.shape == (H, W, 3)
 
     # full training step: differentiable render + psum'd grads + update
     params = {

@@ -79,3 +79,25 @@ class TestTrainStep:
 @needs_8dev
 def test_dryrun_multichip():
     dryrun_multichip(8)
+
+
+@needs_8dev
+class TestShardedMegakernel:
+    def test_matches_single_device_megakernel(self):
+        from rust_wgpu_raytracing_tpu.ops.megakernel import render_megakernel
+        from rust_wgpu_raytracing_tpu.parallel.tile_sharding import (
+            render_sharded_megakernel)
+
+        scene, cfg = small_scene()
+        cam = Camera.from_config(cfg.camera, aspect=2.0)
+        uni = cam.uniforms().flat()
+        mesh = make_render_mesh(8, sp=1)
+        sharded = render_sharded_megakernel(scene.data, uni, mesh,
+                                            width=64, height=32,
+                                            quantize=False)
+        single, _ = render_megakernel(scene.data, jnp.asarray(uni),
+                                      width=64, height=32, interpret=True,
+                                      quantize=False)
+        # quantize=False in single; sharded path doesn't quantize either
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                                   atol=2e-5)
