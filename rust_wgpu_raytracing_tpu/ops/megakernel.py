@@ -744,6 +744,49 @@ def raygen_planar(width, height, uni: CameraUniforms, row0=None,
     return dx * inv_l, dy * inv_l, dz * inv_l
 
 
+def raygen_planar_tiled(width, height, uni: CameraUniforms, row0=None,
+                        total_height=None):
+    """raygen_planar but rays ordered by (8 x 128)-PIXEL SCREEN TILES so
+    each kernel ray-tile (TILE_R=1024 consecutive rays) is a compact 2D
+    screen block instead of a half-scanline: the tile direction cone
+    tightens and interval culling skips far more clusters. Requires
+    height % 8 == 0 and width % 128 == 0. Index math is pure arithmetic
+    (no gathers). Returns (dx, dy, dz) in TILED order; reassemble
+    outputs with tiled_to_image()."""
+    proj_inv = jnp.asarray(uni.proj_inv_wgpu, jnp.float32)
+    view_inv = jnp.asarray(uni.view_inv, jnp.float32)
+    m = jnp.matmul(view_inv[:3, :3], proj_inv[:3, :], precision=HI)
+    const = m[:, 2] + m[:, 3]
+
+    th = total_height or height
+    r = width * height
+    tiles_x = width // 128
+    ridx = jnp.arange(r, dtype=jnp.int32)
+    tile = ridx // 1024
+    within = ridx % 1024
+    py = (tile // tiles_x) * 8 + within // 128
+    px = (tile % tiles_x) * 128 + within % 128
+    yb = py.astype(jnp.float32)
+    if row0 is not None:
+        yb = yb + row0
+    xr = (2.0 * (px.astype(jnp.float32) + 0.5) / width) - 1.0
+    yr = (2.0 * (yb + 0.5) / th) - 1.0
+
+    dx = m[0, 0] * xr + m[0, 1] * yr + const[0]
+    dy = m[1, 0] * xr + m[1, 1] * yr + const[1]
+    dz = m[2, 0] * xr + m[2, 1] * yr + const[2]
+    inv_l = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return dx * inv_l, dy * inv_l, dz * inv_l
+
+
+def tiled_to_image(plane, width, height):
+    """(R,) plane in (8 x 128)-tile order -> (H, W)."""
+    tiles_x = width // 128
+    tiles_y = height // 8
+    return plane.reshape(tiles_y, tiles_x, 8, 128).transpose(
+        0, 2, 1, 3).reshape(height, width)
+
+
 def _norm3(x, y, z):
     l = jnp.sqrt(x * x + y * y + z * z)
     return x / l, y / l, z / l
@@ -903,8 +946,13 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     origin = uni.origin
 
-    dx, dy, dz = raygen_planar(width, height, uni, row0=row0,
-                               total_height=total_height)
+    tiled = height % 8 == 0 and width % 128 == 0
+    if tiled:
+        dx, dy, dz = raygen_planar_tiled(width, height, uni, row0=row0,
+                                         total_height=total_height)
+    else:
+        dx, dy, dz = raygen_planar(width, height, uni, row0=row0,
+                                   total_height=total_height)
     r = width * height
 
     bg = jnp.asarray(background, jnp.float32)
@@ -1074,6 +1122,13 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         cg = jnp.floor(jnp.clip(cg, 0.0, 1.0) * 255.0 + 0.5) / 255.0
         cb = jnp.floor(jnp.clip(cb, 0.0, 1.0) * 255.0 + 0.5) / 255.0
 
+    if tiled:
+        cr = tiled_to_image(cr, width, height)
+        cg = tiled_to_image(cg, width, height)
+        cb = tiled_to_image(cb, width, height)
+        depth = tiled_to_image(depth, width, height)
+        color = jnp.stack([cr, cg, cb], axis=-1)
+        return color, depth
     color = jnp.stack(
         [cr.reshape(height, width), cg.reshape(height, width),
          cb.reshape(height, width)], axis=-1)

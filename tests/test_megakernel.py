@@ -145,3 +145,21 @@ class TestRenderParity:
         cm, _ = render_megakernel(scene.data, uni, interpret=True, **kw)
         diff = np.abs(np.asarray(co) - np.asarray(cm)) * 255.0
         assert diff.max() <= 1.5, f"max u8 diff {diff.max()}"  # <=1 u8 level
+
+
+class TestTiledOrder:
+    @needs_assets
+    def test_tiled_matches_linear_order(self):
+        """At sizes divisible by (8,128) the frame uses 2D-tile ray order;
+        the reassembled image must match the oracle exactly."""
+        cfg = reference_scene(128, 64)
+        cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
+        scene = Scene.build(cfg)
+        cam = Camera.from_config(cfg.camera, aspect=2.0)
+        uni = cam.uniforms().flat()
+        kw = dict(width=128, height=64)
+        co, do = render_oracle(scene.data, uni, **kw)
+        cm, dm = render_megakernel(scene.data, uni, interpret=True, **kw)
+        diff = np.abs(np.asarray(co) - np.asarray(cm)) * 255.0
+        assert diff.max() <= 1.5, f"max u8 diff {diff.max()}"
+        np.testing.assert_allclose(np.asarray(do), np.asarray(dm), atol=1e-6)
