@@ -33,23 +33,37 @@ from .intersect import HI
 from .megakernel import (anyhit_pallas, blinn_phong_planar, gbuffer_pallas,
                          gbuffer_perray_pallas, raygen_planar, _mat_const,
                          _norm3, _spheres_occlude_planar,
-                         sample_packed_texture, sphere_pass_planar)
+                         sample_packed_texture, sphere_pass_planar,
+                         tiled_to_image)
 from .raygen import ndc_grid
 
 F32_INF = float("inf")
 
 
-def _jittered_dirs(width, height, uni: CameraUniforms, key):
-    """raygen_planar + per-pixel sub-pixel jitter (anti-aliasing)."""
+def _jittered_dirs(width, height, uni: CameraUniforms, key, tiled: bool):
+    """raygen + per-pixel sub-pixel jitter (anti-aliasing). With `tiled`
+    the rays come in (8 x 128)-pixel screen-tile order (see megakernel):
+    bounce rays inherit the spatial coherence and the cluster culling
+    keeps working on secondary rays."""
     proj_inv = jnp.asarray(uni.proj_inv_wgpu, jnp.float32)
     view_inv = jnp.asarray(uni.view_inv, jnp.float32)
     m = jnp.matmul(view_inv[:3, :3], proj_inv[:3, :], precision=HI)
     const = m[:, 2] + m[:, 3]
 
-    x_nds, y_nds = ndc_grid(width, height)
-    xr = jnp.tile(x_nds, height)
-    yr = jnp.repeat(y_nds, width)
     r = width * height
+    if tiled:
+        tiles_x = width // 128
+        ridx = jnp.arange(r, dtype=jnp.int32)
+        tile = ridx // 1024
+        within = ridx % 1024
+        py = (tile // tiles_x) * 8 + within // 128
+        px = (tile % tiles_x) * 128 + within % 128
+        xr = (2.0 * (px.astype(jnp.float32) + 0.5) / width) - 1.0
+        yr = (2.0 * (py.astype(jnp.float32) + 0.5) / height) - 1.0
+    else:
+        x_nds, y_nds = ndc_grid(width, height)
+        xr = jnp.tile(x_nds, height)
+        yr = jnp.repeat(y_nds, width)
     kx, ky = jax.random.split(key)
     xr = xr + (jax.random.uniform(kx, (r,)) - 0.5) * (2.0 / width)
     yr = yr + (jax.random.uniform(ky, (r,)) - 0.5) * (2.0 / height)
@@ -123,6 +137,7 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     r = width * height
     has_mesh = scene.num_faces > 0
+    tiled = height % 8 == 0 and width % 128 == 0
     bg = jnp.asarray(background, jnp.float32)
 
     acc_r = jnp.zeros((r,))
@@ -131,7 +146,7 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
 
     for s in range(spp):
         ks = jax.random.fold_in(key, s)
-        dx, dy, dz = _jittered_dirs(width, height, uni, ks)
+        dx, dy, dz = _jittered_dirs(width, height, uni, ks, tiled)
         ox = jnp.full((r,), uni.origin[0])
         oy = jnp.full((r,), uni.origin[1])
         oz = jnp.full((r,), uni.origin[2])
@@ -244,7 +259,12 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
             dx = jnp.where(active, bdx, 0.0)
             dy = jnp.where(active, bdy, 0.0)
             dz = jnp.where(active, bdz, 0.0)
-            ox, oy, oz = px, py, pz
+            # park terminated paths far away so the cluster cull drops
+            # whole (tile, cluster) visits for dead regions
+            far = 1e9
+            ox = jnp.where(active, px, far)
+            oy = jnp.where(active, py, far)
+            oz = jnp.where(active, pz, far)
             beta_r = beta_r * jnp.where(active, ar, 0.0)
             beta_g = beta_g * jnp.where(active, ag, 0.0)
             beta_b = beta_b * jnp.where(active, ab, 0.0)
@@ -253,9 +273,14 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
         acc_g = acc_g + lg
         acc_b = acc_b + lb
 
-    color = jnp.stack(
-        [acc_r.reshape(height, width), acc_g.reshape(height, width),
-         acc_b.reshape(height, width)], axis=-1)
+    if tiled:
+        color = jnp.stack([tiled_to_image(acc_r, width, height),
+                           tiled_to_image(acc_g, width, height),
+                           tiled_to_image(acc_b, width, height)], axis=-1)
+    else:
+        color = jnp.stack(
+            [acc_r.reshape(height, width), acc_g.reshape(height, width),
+             acc_b.reshape(height, width)], axis=-1)
     return color
 
 
