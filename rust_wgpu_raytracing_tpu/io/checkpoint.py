@@ -14,10 +14,9 @@ import os
 import numpy as np
 
 from ..config import SceneConfig
-from ..runtime.renderer import Renderer
 
 
-def save_checkpoint(path: str, renderer: Renderer) -> None:
+def save_checkpoint(path: str, renderer) -> None:
     cam = renderer.camera
     state = {
         "config": json.loads(renderer.config.to_json()),
@@ -39,7 +38,9 @@ def save_checkpoint(path: str, renderer: Renderer) -> None:
     np.savez(path, state=json.dumps(state), **arrays)
 
 
-def load_checkpoint(path: str, backend: str = "auto") -> Renderer:
+def load_checkpoint(path: str, backend: str = "auto"):
+    from ..runtime.renderer import Renderer
+
     with np.load(path, allow_pickle=False) as z:
         state = json.loads(str(z["state"]))
         accum = z["accum"] if "accum" in z.files else None

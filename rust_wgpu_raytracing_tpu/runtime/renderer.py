@@ -124,12 +124,20 @@ class Renderer:
 
     # --- State::render (src/lib.rs:1012-1230) ---
     def render(self, block: bool = False):
-        """Returns the device-resident (color, depth) arrays."""
+        """Returns the device-resident (color, depth) arrays.
+
+        block=True forces a REAL device sync (a tiny device->host fetch —
+        block_until_ready does not reliably synchronize on tunneled TPU
+        backends, see runtime/profiler.py), so last_frame_ms then includes
+        one host round trip (~25-30 ms on remote chips). For honest
+        steady-state numbers use profiler.time_frames."""
         t0 = time.perf_counter()
         uni = self.camera.uniforms().flat()
         color, depth = self._frame_fn(self.scene.data, uni)
         if block:
-            color.block_until_ready()
+            from .profiler import device_sync
+
+            device_sync(color)
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.frame_count += 1
         self._last = (color, depth)
