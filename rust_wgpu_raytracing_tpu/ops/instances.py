@@ -16,6 +16,7 @@ preserved as instances move (cluster AABBs are refit exactly).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -90,18 +91,28 @@ class InstancedScene:
         return inst
 
     def instantiate(self, transforms) -> SceneData:
-        """(N,3,4) affine transforms -> SceneData. Pure jnp (jit/grad
-        compatible); this IS the per-frame refit."""
-        n = self.n_instances
-        fb = self.base_faces.shape[0]
+        """(N,3,4) affine transforms -> SceneData. Runs as ONE jitted
+        program (eager per-op dispatch costs ~3 ms each on tunneled
+        backends — an un-jitted refit was ~5x the whole render); this IS
+        the per-frame refit."""
         t = jnp.asarray(transforms, jnp.float32)
-        assert t.shape == (n, 3, 4), t.shape
+        assert t.shape == (self.n_instances, 3, 4), t.shape
+        return _instantiate_jit(
+            self.template, self.base_pos, self.base_faces, self.base_uv3,
+            self.base_vn3, self.base_mat, self.base_valid,
+            self.n_instances, t)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
+                     base_mat, base_valid, n, t) -> SceneData:
+        fb = base_faces.shape[0]
 
         # transformed vertices per instance: (N, V, 3)
-        v = jnp.einsum("nij,vj->nvi", t[:, :, :3], self.base_pos,
+        v = jnp.einsum("nij,vj->nvi", t[:, :, :3], base_pos,
                        precision=jax.lax.Precision.HIGHEST) + t[:, None, :, 3]
 
-        f = self.base_faces
+        f = base_faces
         p0 = v[:, f[:, 0], :].reshape(-1, 3)  # (N*Fb, 3)
         p1 = v[:, f[:, 1], :].reshape(-1, 3)
         p2 = v[:, f[:, 2], :].reshape(-1, 3)
@@ -118,7 +129,7 @@ class InstancedScene:
         c0 = jnp.sum(p0 * g0, axis=1)
         c1 = jnp.sum(p1 * g1, axis=1)
         c2 = jnp.sum(p2 * g2, axis=1)
-        valid = jnp.tile(self.base_valid, n)
+        valid = jnp.tile(base_valid, n)
         inv_denom = jnp.where((denom > 0) & (valid > 0),
                               1.0 / jnp.maximum(denom, 1e-30), 0.0)
         nrm = nrm * valid[:, None]  # padding faces -> N=0 (never hit)
@@ -150,18 +161,18 @@ class InstancedScene:
 
         orig = jnp.arange(nf, dtype=jnp.int32)
         return dataclasses.replace(
-            self.template,
-            tri_tangent=rot_dirs(self.template.tri_tangent),
-            tri_bitangent=rot_dirs(self.template.tri_bitangent),
+            template,
+            tri_tangent=rot_dirs(template.tri_tangent),
+            tri_bitangent=rot_dirs(template.tri_bitangent),
             tri_p0=p0,
             tri_n=nrm,
             tri_d=d * valid,
             tri_g=jnp.stack([g0, g1, g2], axis=1) * valid[:, None, None],
             tri_c=jnp.stack([c0, c1, c2], axis=1),
             tri_inv_denom=inv_denom,
-            tri_uv=jnp.tile(self.base_uv3, (n, 1, 1)),
-            tri_vn=jnp.tile(self.base_vn3, (n, 1, 1)),
-            tri_mat=jnp.tile(self.base_mat, n),
+            tri_uv=jnp.tile(base_uv3, (n, 1, 1)),
+            tri_vn=jnp.tile(base_vn3, (n, 1, 1)),
+            tri_mat=jnp.tile(base_mat, n),
             tri_valid=valid,
             tri_orig=orig,
             blk_lo=blk_lo,
