@@ -881,6 +881,78 @@ def _texfilter_pallas(taps, fx, fy, *, tile_r: int = TILE_R,
     return tuple(o[:nrays] for o in outs)
 
 
+def _texshade_kernel(taps_ref, fx_ref, fy_ref, lam_ref, spec_ref,
+                     ar_ref, ag_ref, ab_ref, sr_ref, sg_ref, sb_ref,
+                     pr_ref, pg_ref, pb_ref):
+    """Bilinear mix + Blinn-Phong combine in one kernel:
+    p = ambient + tex * lambert + specular_color * spec^32. Keeping the
+    combine here avoids materializing the three texture planes + nine
+    shading planes between kernels (~1-2 ms at 1080p)."""
+    fx = _row1(fx_ref)
+    fy = _row1(fy_ref)
+    lam = _row1(lam_ref)
+    spec = _row1(spec_ref)
+
+    def tap(k):
+        w = taps_ref[k:k + 1, :].astype(jnp.int32)
+        return w.astype(jnp.float32) * (1.0 / 65535.0)
+
+    outs = ((0, ar_ref, sr_ref, pr_ref), (1, ag_ref, sg_ref, pg_ref),
+            (2, ab_ref, sb_ref, pb_ref))
+    for ch, amb, spc, out in outs:
+        top = tap(ch) * (1.0 - fx) + tap(3 + ch) * fx
+        bot = tap(6 + ch) * (1.0 - fx) + tap(9 + ch) * fx
+        tex = top * (1.0 - fy) + bot * fy
+        out[:] = (_row1(amb) + tex * lam + _row1(spc) * spec).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "interpret"))
+def _texshade_pallas(taps, fx, fy, lam, spec, ar, ag, ab, sr, sg, sb, *,
+                     tile_r: int = TILE_R, interpret: bool = False):
+    nrays = fx.shape[0]
+    planes = [_pad1(a, tile_r) for a in
+              (fx, fy, lam, spec, ar, ag, ab, sr, sg, sb)]
+    pad = planes[0].shape[0] - taps.shape[1]
+    if pad:
+        taps = jnp.concatenate(
+            [taps, jnp.zeros((12, pad), taps.dtype)], axis=1)
+    r = planes[0].shape[0]
+    ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _texshade_kernel,
+        grid=(r // tile_r,),
+        in_specs=[
+            pl.BlockSpec((12, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [ray_spec] * 10,
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((r,), jnp.float32)] * 3,
+        interpret=interpret,
+    )(taps, *planes)
+    return tuple(o[:nrays] for o in outs)
+
+
+def gather_packed_taps(pool, base, hw_h, hw_w, u, v):
+    """Compute clamped texel address + fractional weights and run THE one
+    gather: returns (taps (12,R) u16, fx, fy). Shared by the plain filter
+    and the fused filter+shade paths."""
+    x = u * hw_w - 0.5
+    y = v * hw_h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = jnp.where(x0f < 0, 0.0, x - x0f)
+    fy = jnp.where(y0f < 0, 0.0, y - y0f)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, (hw_w - 1.0).astype(jnp.int32))
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, (hw_h - 1.0).astype(jnp.int32))
+    flat = base.astype(jnp.int32) + y0 * hw_w.astype(jnp.int32) + x0
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(1,), start_index_map=(1,))
+    taps = jax.lax.gather(pool, flat[:, None], dn, slice_sizes=(12, 1),
+                          mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return taps, fx, fy
+
+
 def sample_packed_texture(pool, base, hw_h, hw_w, u, v,
                           interpret: bool = False):
     """ONE narrow gather + Pallas bilinear filter.
@@ -894,22 +966,7 @@ def sample_packed_texture(pool, base, hw_h, hw_w, u, v,
     when floor < 0 (left/top edge) so the mix degenerates to the edge
     texel exactly like clamping both taps does.
     """
-    x = u * hw_w - 0.5
-    y = v * hw_h - 0.5
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    fx = jnp.where(x0f < 0, 0.0, x - x0f)
-    fy = jnp.where(y0f < 0, 0.0, y - y0f)
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, (hw_w - 1.0).astype(jnp.int32))
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, (hw_h - 1.0).astype(jnp.int32))
-
-    flat = base.astype(jnp.int32) + y0 * hw_w.astype(jnp.int32) + x0  # (R,)
-    # THE one gather of the frame: (12, R) u16, rays on lanes
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(0,), collapsed_slice_dims=(1,), start_index_map=(1,))
-    taps = jax.lax.gather(pool, flat[:, None], dn,
-                          slice_sizes=(12, 1),
-                          mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    taps, fx, fy = gather_packed_taps(pool, base, hw_h, hw_w, u, v)
     return _texfilter_pallas(taps, fx, fy, interpret=interpret)
 
 
@@ -1060,10 +1117,6 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
             ny = jnp.where(use, py_ / plen_s, ny)
             nz = jnp.where(use, pz_ / plen_s, nz)
 
-        tr_, tg_, tb_ = sample_packed_texture(scene.tex_packed, tex_base,
-                                              hw_h, hw_w, tex_u, tex_v,
-                                              interpret=interpret)
-
         # per-pixel light dir can vary by material (reference quirk:
         # per-kernel light dirs) — resolve via M-way select
         lightx = _mat_const(scene, gb.mat, lambda k: scene.mat_light[k, 0])
@@ -1079,9 +1132,12 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         spc_g = _mat_const(scene, gb.mat, lambda k: scene.mat_specular[k, 1])
         spc_b = _mat_const(scene, gb.mat, lambda k: scene.mat_specular[k, 2])
 
-        pr = amb_r + tr_ * lam + spc_r * spec
-        pg = amb_g + tg_ * lam + spc_g * spec
-        pb = amb_b + tb_ * lam + spc_b * spec
+        taps, fxw, fyw = gather_packed_taps(scene.tex_packed, tex_base,
+                                            hw_h, hw_w, tex_u, tex_v)
+        pr, pg, pb = _texshade_pallas(taps, fxw, fyw, lam, spec,
+                                      amb_r, amb_g, amb_b,
+                                      spc_r, spc_g, spc_b,
+                                      interpret=interpret)
         extra = None
         if shadows:
             extra = [amb_r, amb_g, amb_b, gb.t, nx, ny, nz,
