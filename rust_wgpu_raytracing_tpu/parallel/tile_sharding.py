@@ -125,7 +125,7 @@ def render_sharded(scene: SceneData, uni_flat, mesh: Mesh, *, width: int,
         acc = jnp.zeros((rows, width, 3), jnp.float32)
         if spp > 1:
             # mark the carry as device-varying so scan's type check passes
-            acc = jax.lax.pvary(acc, ("dp", "sp"))
+            acc = jax.lax.pcast(acc, ("dp", "sp"), to="varying")
             acc = jax.lax.fori_loop(0, spp, sample, acc)
         else:
             acc = sample(0, acc)

@@ -29,6 +29,39 @@ class KeyEvent:
     pressed: bool
 
 
+# Classification of render errors, mirroring the reference's match on
+# SurfaceError (src/lib.rs:1338-1347): Lost/Outdated -> recreate + retry,
+# OutOfMemory -> abort, Timeout -> warn-and-skip, everything else (a
+# programming error) -> surface as itself immediately.
+_OOM_MARKERS = ("RESOURCE_EXHAUSTED", "Out of memory", "OOM")
+_LOST_MARKERS = ("UNAVAILABLE", "ABORTED", "FAILED_PRECONDITION",
+                 "Device or resource busy", "socket closed",
+                 "connection reset")
+_TIMEOUT_MARKERS = ("DEADLINE_EXCEEDED",)
+
+
+def classify_render_error(exc: BaseException) -> str:
+    """'oom' | 'lost' | 'timeout' | 'fatal' for a render-path exception.
+
+    Only runtime/device errors (JaxRuntimeError / XlaRuntimeError /
+    MemoryError) are ever recoverable; Python-level exceptions are
+    deterministic programming errors and always 'fatal'.
+    """
+    if isinstance(exc, MemoryError):
+        return "oom"
+    name = type(exc).__name__
+    if name not in ("JaxRuntimeError", "XlaRuntimeError"):
+        return "fatal"
+    msg = str(exc)
+    if any(m in msg for m in _OOM_MARKERS):
+        return "oom"
+    if any(m in msg for m in _TIMEOUT_MARKERS):
+        return "timeout"
+    if any(m in msg for m in _LOST_MARKERS):
+        return "lost"
+    return "fatal"
+
+
 class FrameLoop:
     def __init__(self, renderer: Renderer,
                  present: Optional[Callable[[np.ndarray], None]] = None,
@@ -60,15 +93,33 @@ class FrameLoop:
         t0 = time.perf_counter()
         try:
             self.renderer.render()
-        except MemoryError:
-            # the reference exits on OutOfMemory (lib.rs:1343)
-            self.running = False
-            raise
-        except Exception:
-            # Lost/Outdated analogue: rebuild size-dependent state and
-            # retry once (lib.rs:1341-1342)
-            self.renderer.resize(self.renderer.width, self.renderer.height)
-            self.renderer.render()
+        except Exception as err:
+            kind = classify_render_error(err)
+            if kind == "oom":
+                # the reference exits on OutOfMemory (lib.rs:1343)
+                self.running = False
+                raise
+            if kind == "timeout":
+                # the reference warns and carries on (lib.rs:1345-1346)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "frame %d render timeout: %s", self.frame_index, err)
+            elif kind == "lost":
+                # Lost/Outdated analogue: rebuild size-dependent state and
+                # retry once (lib.rs:1341-1342); if the retry also fails,
+                # re-raise the ORIGINAL error, not the retry's
+                self.renderer.resize(self.renderer.width,
+                                     self.renderer.height)
+                try:
+                    self.renderer.render()
+                except Exception:
+                    self.running = False
+                    raise err
+            else:
+                # deterministic programming error: surface as itself
+                self.running = False
+                raise
         img = self.renderer.present_image()
         self.profiler.record((time.perf_counter() - t0) * 1e3)
         if self.present is not None:

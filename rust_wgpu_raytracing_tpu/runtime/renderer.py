@@ -69,9 +69,14 @@ class Renderer:
             def frame(scene, uni):
                 import jax.numpy as jnp
 
+                depth = jnp.ones((self.height, self.width), jnp.float32)
+                if self._accum is not None and self._spp_done >= rc.pt_spp:
+                    # converged: pt_spp is a TARGET — once reached, frames
+                    # re-present the finished accumulation (no more samples)
+                    return self._accum / self._spp_done, depth
                 key = jax.random.fold_in(
                     jax.random.PRNGKey(rc.seed), self._spp_done)
-                spp = min(rc.pt_spp - self._spp_done, 1) or 1
+                spp = min(rc.pt_spp - self._spp_done, 1)
                 # the path tracer always runs the Pallas kernels; off-TPU
                 # they execute in interpret mode
                 c = render_pathtrace(
@@ -85,7 +90,6 @@ class Renderer:
                     self._accum = self._accum + c
                 self._spp_done += spp
                 color = self._accum / self._spp_done
-                depth = jnp.ones((self.height, self.width), jnp.float32)
                 return color, depth
 
             self._frame_fn = frame
@@ -173,6 +177,17 @@ class Renderer:
         write_png(path, jax.device_get(color), srgb=srgb)
 
     # --- metrics ---
+    @property
+    def spp_done(self) -> int:
+        """Accumulated progressive-PT samples per pixel (0 outside PT mode)."""
+        return getattr(self, "_spp_done", 0)
+
+    @property
+    def pt_converged(self) -> bool:
+        """True once progressive accumulation reached config.render.pt_spp."""
+        rc = self.config.render
+        return rc.pt_bounces > 0 and self.spp_done >= rc.pt_spp
+
     @property
     def mrays_per_s(self) -> float:
         if not np.isfinite(self.last_frame_ms):
