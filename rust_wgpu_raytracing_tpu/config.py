@@ -102,9 +102,13 @@ class RenderConfig:
     # Shadows: cast a hard shadow ray per primary hit (BASELINE config 3
     # capability; the reference has no shadow rays).
     shadows: bool = False
-    # Acceleration structure: "brute" (reference-parity brute force) or
-    # "bvh" (LBVH build + traversal).
-    accel: str = "brute"
+    # Acceleration strategy (bit-identical output across all three):
+    # "brute" = no culling (reference-parity brute force,
+    #           triangle_list/compute.wgsl:186-202),
+    # "cull"  = flat tile-interval Morton-cluster mask,
+    # "bvh"   = LBVH build + stackless skip-pointer traversal
+    #           (ops/traverse.py; BASELINE north star).
+    accel: str = "cull"
     # Quantize the framebuffer to rgba8 like the reference's rgba8unorm
     # storage texture (sphere/compute.wgsl:2); tests compare at u8.
     quantize_rgba8: bool = True

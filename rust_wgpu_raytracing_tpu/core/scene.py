@@ -39,6 +39,12 @@ FACE_PAD = 128
 # faces are Morton-sorted and grouped; per-tile interval culling skips
 # whole clusters (see ops/bvh.py and ops/megakernel.py).
 CULL_BLOCK = 32
+# HBM-streaming superblock: 32 clusters = one packed mask word. Scenes
+# beyond STREAM_FACES no longer fit the all-VMEM kernels ((F,40) f32 at
+# 100k faces ~ 16 MB, at/over v5e VMEM); they pad to SUPER_F and the
+# kernels DMA active superblocks from HBM (ops/megakernel.py).
+SUPER_F = 32 * CULL_BLOCK
+STREAM_FACES = 16384
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -81,6 +87,13 @@ class SceneData:
     # --- acceleration (Morton clusters; ops/bvh.py) ---
     blk_lo: jax.Array  # (F/CULL_BLOCK, 3) f32 cluster AABB min
     blk_hi: jax.Array  # (F/CULL_BLOCK, 3) f32 cluster AABB max
+    # LBVH over REAL cluster leaves, DFS-linearized with skip pointers
+    # for stackless traversal (ops/bvh.py:linearize_bvh, walked by
+    # ops/traverse.py). (9, 2n-1) f32; bvh_nodes == 0 means "no valid
+    # tree" (meshless scenes, or instanced scenes after a device-side
+    # refit moved geometry out from under the host-built topology) and
+    # accel="bvh" falls back to the flat cull mask.
+    bvh_pack: jax.Array  # (9, M) f32
 
     # --- materials ---
     mat_ambient: jax.Array  # (M,3) f32
@@ -131,6 +144,7 @@ class SceneData:
     # static metadata (not traced)
     num_faces: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_spheres: int = dataclasses.field(metadata=dict(static=True), default=0)
+    bvh_nodes: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def padded_faces(self) -> int:
@@ -141,7 +155,7 @@ jax.tree_util.register_dataclass(
     SceneData,
     data_fields=[f.name for f in dataclasses.fields(SceneData)
                  if not f.metadata.get("static")],
-    meta_fields=["num_faces", "num_spheres"],
+    meta_fields=["num_faces", "num_spheres", "bvh_nodes"],
 )
 
 
@@ -233,6 +247,15 @@ class Scene:
                 meshes = [make_cube()]
                 mats = [ObjMaterial(name="builtin", ambient=(0.05,) * 3,
                                     diffuse=(0.8,) * 3, specular=(0.2,) * 3)]
+            elif mesh_cfg.obj_path.startswith("builtin:terrain"):
+                # "builtin:terrain" or "builtin:terrain:<grid_n>" — the
+                # large-scene stress asset (512 -> 522k faces)
+                from ..io.obj import make_terrain
+                parts = mesh_cfg.obj_path.split(":")
+                grid_n = int(parts[2]) if len(parts) > 2 else 512
+                meshes = [make_terrain(grid_n)]
+                mats = [ObjMaterial(name="builtin", ambient=(0.05,) * 3,
+                                    diffuse=(0.8,) * 3, specular=(0.2,) * 3)]
             else:
                 path = resolve_asset(mesh_cfg.obj_path)
                 meshes, mats = load_obj(path)
@@ -269,7 +292,10 @@ class Scene:
             mat_light = [(1.0, -1.0, -5.0)]
 
         num_faces = faces.shape[0]
-        padded = max(FACE_PAD, -(-max(num_faces, 1) // FACE_PAD) * FACE_PAD)
+        # Big scenes pad to the streaming superblock so the HBM-streaming
+        # kernels see whole 1024-face superblocks (= one mask word each).
+        pad_unit = SUPER_F if num_faces > STREAM_FACES else FACE_PAD
+        padded = max(pad_unit, -(-max(num_faces, 1) // pad_unit) * pad_unit)
 
         if num_faces:
             # Morton-sort faces by centroid so fixed-size clusters are
@@ -279,7 +305,8 @@ class Scene:
             # float-equal hits of overlapping coplanar faces are the only
             # observable difference vs the reference (none in real
             # meshes).
-            from ..ops.bvh import cluster_aabbs, morton_order
+            from ..ops.bvh import (build_lbvh, cluster_aabbs, linearize_bvh,
+                                   morton3d, morton_order)
 
             order = morton_order(positions[faces[:, 0]],
                                  positions[faces[:, 1]],
@@ -295,6 +322,23 @@ class Scene:
                 _pad_rows(positions[faces[:, 1]], padded),
                 _pad_rows(positions[faces[:, 2]], padded),
                 CULL_BLOCK, num_faces)
+
+            # LBVH over the REAL cluster leaves. Leaf Morton keys are the
+            # sorted face codes sampled at cluster starts — guaranteed
+            # non-decreasing (the Karras build requires sorted codes;
+            # ties break by index).
+            n_real_clusters = -(-num_faces // CULL_BLOCK)
+            centroids_sorted = (positions[faces[:, 0]]
+                                + positions[faces[:, 1]]
+                                + positions[faces[:, 2]]) / 3.0
+            codes_sorted = morton3d(centroids_sorted)
+            cluster_codes = codes_sorted[np.arange(n_real_clusters)
+                                         * CULL_BLOCK]
+            bvh = build_lbvh(cluster_codes,
+                             blk_lo[:n_real_clusters].copy(),
+                             blk_hi[:n_real_clusters].copy())
+            bvh_pack = linearize_bvh(bvh)
+            bvh_nodes = 2 * n_real_clusters - 1
         else:
             p0 = np.zeros((0, 3), np.float32)
             n = np.zeros((0, 3), np.float32)
@@ -310,6 +354,8 @@ class Scene:
             nb = padded // CULL_BLOCK
             blk_lo = np.full((nb, 3), np.inf, np.float32)
             blk_hi = np.full((nb, 3), -np.inf, np.float32)
+            bvh_pack = np.zeros((9, 1), np.float32)
+            bvh_nodes = 0
 
         # ---- textures (diffuse sRGB-decoded; bump maps raw) ----
         textures: List[TextureData] = []
@@ -402,6 +448,7 @@ class Scene:
             tri_orig=jnp.asarray(_pad_rows(orig_ids, padded)),
             blk_lo=jnp.asarray(blk_lo),
             blk_hi=jnp.asarray(blk_hi),
+            bvh_pack=jnp.asarray(bvh_pack),
             mat_ambient=jnp.asarray(
                 np.array([m.ambient for m in materials], np.float32)),
             mat_specular=jnp.asarray(
@@ -427,5 +474,6 @@ class Scene:
             mat_bump=jnp.asarray(np.array(mat_bump, np.int32)),
             num_faces=num_faces,
             num_spheres=len(spheres),
+            bvh_nodes=bvh_nodes,
         )
         return Scene(config=config, data=data, mesh_names=mesh_names)

@@ -259,3 +259,53 @@ def make_cube(size: float = 1.0) -> ObjMesh:
         normals=np.asarray(nrm, dtype=np.float32),
         faces=np.asarray(faces, dtype=np.int32),
     )
+
+
+def make_terrain(n: int = 512, size: float = 2.0,
+                 height: float = 0.25) -> ObjMesh:
+    """Procedural heightfield: an n x n vertex grid in the XY plane with
+    a deterministic sum-of-sines height in Z, 2*(n-1)^2 triangles.
+
+    The large-scene stress asset (512 -> 522,242 faces): the reference
+    caps out at 428 faces (cube.obj), so scaling the face-count axis
+    (SURVEY §5.7) is exercised with generated geometry. Fully vectorized
+    NumPy; UVs span the grid, vertex normals are the analytic surface
+    normals of the height function.
+    """
+    assert n >= 2
+    u = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    gx, gy = np.meshgrid(u, u, indexing="xy")
+    x = (gx - 0.5) * size
+    y = (gy - 0.5) * size
+
+    def h(xx, yy):
+        return height * (np.sin(3.1 * xx + 1.7 * yy)
+                         + 0.5 * np.sin(7.3 * yy - 2.9 * xx)
+                         + 0.25 * np.sin(13.7 * xx * yy + 0.5))
+
+    z = h(x, y).astype(np.float32)
+    # analytic partials for smooth shading normals
+    dzx = height * (3.1 * np.cos(3.1 * x + 1.7 * y)
+                    - 0.5 * 2.9 * np.cos(7.3 * y - 2.9 * x)
+                    + 0.25 * 13.7 * y * np.cos(13.7 * x * y + 0.5))
+    dzy = height * (1.7 * np.cos(3.1 * x + 1.7 * y)
+                    + 0.5 * 7.3 * np.cos(7.3 * y - 2.9 * x)
+                    + 0.25 * 13.7 * x * np.cos(13.7 * x * y + 0.5))
+    nrm = np.stack([-dzx, -dzy, np.ones_like(z)], axis=-1)
+    nrm = nrm / np.linalg.norm(nrm, axis=-1, keepdims=True)
+
+    positions = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    uvs = np.stack([gx, gy], axis=-1).reshape(-1, 2).astype(np.float32)
+    normals = nrm.reshape(-1, 3).astype(np.float32)
+
+    idx = np.arange(n * n, dtype=np.int32).reshape(n, n)
+    v00 = idx[:-1, :-1].ravel()
+    v01 = idx[:-1, 1:].ravel()
+    v10 = idx[1:, :-1].ravel()
+    v11 = idx[1:, 1:].ravel()
+    faces = np.concatenate([
+        np.stack([v00, v01, v11], axis=1),
+        np.stack([v00, v11, v10], axis=1),
+    ], axis=0).astype(np.int32)
+    return ObjMesh(name=f"terrain{n}", positions=positions, uvs=uvs,
+                   normals=normals, faces=faces)

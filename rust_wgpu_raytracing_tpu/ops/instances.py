@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.scene import CULL_BLOCK, FACE_PAD, Scene, SceneData
+from ..core.scene import (CULL_BLOCK, FACE_PAD, STREAM_FACES, SUPER_F,
+                          Scene, SceneData)
 
 
 @dataclass
@@ -63,6 +64,10 @@ class InstancedScene:
 
         fb_real = faces.shape[0]
         fb = -(-fb_real // FACE_PAD) * FACE_PAD
+        if n_instances * fb > STREAM_FACES:
+            # superblock-align each instance so the streaming kernels see
+            # whole 1024-face superblocks over the instanced soup
+            fb = -(-fb_real // SUPER_F) * SUPER_F
         pad = fb - fb_real
         faces_p = np.concatenate(
             [faces, np.zeros((pad, 3), np.int32)], axis=0)
@@ -177,6 +182,9 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             tri_orig=orig,
             blk_lo=blk_lo,
             blk_hi=blk_hi,
+            # the host-built tree's AABBs are stale once instances move;
+            # bvh_nodes=0 makes accel="bvh" fall back to the flat cull
+            bvh_nodes=0,
             num_faces=int(nf),
         )
 

@@ -38,10 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import CameraUniforms
-from ..core.scene import SceneData
+from ..core.scene import CULL_BLOCK, STREAM_FACES, SUPER_F, SceneData
 from .composite import to_nonlinear_depth
 from .intersect import HI, K_EPSILON, TriHit
 from .raygen import ndc_grid
+from .traverse import (bvh_walk_mask_words, slab_interval_ok,
+                       tile_ray_bounds)
 
 INT_MISS = 2**31 - 1  # python scalars only: traced constants cannot be
 F32_INF = float("inf")  # captured inside a pallas kernel body
@@ -125,6 +127,36 @@ def pack_origin_cols(scene: SceneData, origin) -> jnp.ndarray:
     f = t_num.shape[0]
     return jnp.concatenate(
         [t_num[:, None], hc, jnp.zeros((f, 4), jnp.float32)], axis=1)
+
+
+# Streaming pack layout: Mosaic requires DMA slice minor dims aligned to
+# the 128-lane tiling, so the HBM-streamed face record is one 128-col f32
+# row per face (the VMEM scratch is lane-padded to 128 either way):
+#   0-39   fpack (the static per-face columns above)
+#   40-43  [d, c0, c1, c2] plane constants (per-ray-origin kernels)
+#   48-55  per-frame shared-origin terms [t_num, hc0, hc1, hc2, 0...]
+STREAM_COLS = 128
+_SC_DC = 40
+_SC_OT = 48
+
+
+def pack_stream_columns(scene: SceneData, origin=None) -> jnp.ndarray:
+    """(F, STREAM_COLS) f32 combined record for the HBM-streaming
+    kernels: one aligned DMA per superblock fetches everything a face
+    block needs. origin=None leaves the shared-origin term slot zeroed
+    (per-ray-origin kernels ignore it)."""
+    f = scene.tri_p0.shape[0]
+    fpack = pack_face_columns(scene)
+    dc = jnp.concatenate([scene.tri_d[:, None], scene.tri_c], axis=1)
+    oterm = (pack_origin_cols(scene, origin) if origin is not None
+             else jnp.zeros((f, 8), jnp.float32))
+    return jnp.concatenate([
+        fpack,
+        dc,
+        jnp.zeros((f, _SC_OT - _SC_DC - 4), jnp.float32),
+        oterm,
+        jnp.zeros((f, STREAM_COLS - _SC_OT - 8), jnp.float32),
+    ], axis=1)
 
 
 def _col(ref, k):
@@ -280,82 +312,88 @@ def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int,
         nb = n_blocks
 
         def visit(jj):
-            if True:
-                base = pl.multiple_of(jj * block_f, block_f)
-                g = fpack_ref[pl.ds(base, block_f), :]
-                dc = dc_ref[pl.ds(base, block_f), :]
-
-                def col(m, k):
-                    return m[:, k:k + 1]
-
-                ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
-                ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
-                t = -(ndoto + col(dc, 0)) / ndotd
-
-                def hplane(k, c):
-                    og = (col(g, k) * ox + col(g, k + 1) * oy
-                          + col(g, k + 2) * oz - col(dc, c))
-                    dg = (col(g, k) * dx + col(g, k + 1) * dy
-                          + col(g, k + 2) * dz)
-                    return og + t * dg
-
-                h0 = hplane(3, 1)
-                h1 = hplane(6, 2)
-                h2 = hplane(9, 3)
-
-                valid = (
-                    (jnp.abs(ndotd) >= K_EPSILON)
-                    & (t >= 1e-3)
-                    & (h0 >= 0.0)
-                    & (h1 >= 0.0)
-                    & (h2 >= 0.0)
-                )
-                tm = jnp.where(valid, t, F32_INF)
-
-                tmin = jnp.min(tm, axis=0, keepdims=True)
-                face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-                idx_blk = jnp.min(
-                    jnp.where(tm == tmin, face_ids, INT_MISS), axis=0,
-                    keepdims=True)
-                win = face_ids == idx_blk
-
-                def pick(m):
-                    return jnp.sum(jnp.where(win, m, 0.0), axis=0,
-                                   keepdims=True)
-
-                invd = col(g, _C_INVD)
-                u_n = h1 * invd
-                v_n = h2 * invd
-                w_n = 1.0 - u_n - v_n
-                uvx_m = (u_n * col(g, _C_UV) + v_n * col(g, _C_UV + 2)
-                         + w_n * col(g, _C_UV + 4))
-                uvy_m = (u_n * col(g, _C_UV + 1) + v_n * col(g, _C_UV + 3)
-                         + w_n * col(g, _C_UV + 5))
-
-                better = (tmin < _row1(t_ref)).reshape(-1)
-
-                def merge(ref, new):
-                    ref[:] = jnp.where(better, new.reshape(-1), ref[:])
-
-                merge(t_ref, tmin)
-                merge(face_ref, idx_blk + jj * block_f)
-                merge(u_ref, pick(u_n))
-                merge(v_ref, pick(v_n))
-                merge(nd_ref, pick(ndotd))
-                merge(uvx_ref, pick(uvx_m))
-                merge(uvy_ref, pick(uvy_m))
-                merge(nx_ref, pick(jnp.broadcast_to(col(g, _C_UN),
-                                                    tm.shape)))
-                merge(ny_ref, pick(jnp.broadcast_to(col(g, _C_UN + 1),
-                                                    tm.shape)))
-                merge(nz_ref, pick(jnp.broadcast_to(col(g, _C_UN + 2),
-                                                    tm.shape)))
-                merge(mat_ref, pick(jnp.broadcast_to(col(g, _C_MAT),
-                                                     tm.shape)))
+            base = pl.multiple_of(jj * block_f, block_f)
+            g = fpack_ref[pl.ds(base, block_f), :]
+            dc = dc_ref[pl.ds(base, block_f), :]
+            _chp_block(g, dc, dx, dy, dz, ox, oy, oz, jj * block_f,
+                       t_ref, face_ref, u_ref, v_ref, nd_ref,
+                       uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref)
 
         _mask_word_loop(mask_ref, nwords, nb, i, visit)
 
     return kernel
+
+
+def _chp_block(g, dc, dx, dy, dz, ox, oy, oz, face_base,
+               t_ref, face_ref, u_ref, v_ref, nd_ref,
+               uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref):
+    """Per-ray-origin closest-hit block merge (bounce rays): values
+    g (BF, FPACK_COLS) / dc (BF, 8); hits closer than the
+    self-intersection epsilon 1e-3 are rejected."""
+
+    def col(m, k):
+        return m[:, k:k + 1]
+
+    ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
+    ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
+    t = -(ndoto + col(dc, 0)) / ndotd
+
+    def hplane(k, c):
+        og = (col(g, k) * ox + col(g, k + 1) * oy
+              + col(g, k + 2) * oz - col(dc, c))
+        dg = (col(g, k) * dx + col(g, k + 1) * dy
+              + col(g, k + 2) * dz)
+        return og + t * dg
+
+    h0 = hplane(3, 1)
+    h1 = hplane(6, 2)
+    h2 = hplane(9, 3)
+
+    valid = (
+        (jnp.abs(ndotd) >= K_EPSILON)
+        & (t >= 1e-3)
+        & (h0 >= 0.0)
+        & (h1 >= 0.0)
+        & (h2 >= 0.0)
+    )
+    tm = jnp.where(valid, t, F32_INF)
+
+    tmin = jnp.min(tm, axis=0, keepdims=True)
+    face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+    idx_blk = jnp.min(
+        jnp.where(tm == tmin, face_ids, INT_MISS), axis=0,
+        keepdims=True)
+    win = face_ids == idx_blk
+
+    def pick(m):
+        return jnp.sum(jnp.where(win, m, 0.0), axis=0,
+                       keepdims=True)
+
+    invd = col(g, _C_INVD)
+    u_n = h1 * invd
+    v_n = h2 * invd
+    w_n = 1.0 - u_n - v_n
+    uvx_m = (u_n * col(g, _C_UV) + v_n * col(g, _C_UV + 2)
+             + w_n * col(g, _C_UV + 4))
+    uvy_m = (u_n * col(g, _C_UV + 1) + v_n * col(g, _C_UV + 3)
+             + w_n * col(g, _C_UV + 5))
+
+    better = (tmin < _row1(t_ref)).reshape(-1)
+
+    def merge(ref, new):
+        ref[:] = jnp.where(better, new.reshape(-1), ref[:])
+
+    merge(t_ref, tmin)
+    merge(face_ref, idx_blk + face_base)
+    merge(u_ref, pick(u_n))
+    merge(v_ref, pick(v_n))
+    merge(nd_ref, pick(ndotd))
+    merge(uvx_ref, pick(uvx_m))
+    merge(uvy_ref, pick(uvy_m))
+    merge(nx_ref, pick(jnp.broadcast_to(col(g, _C_UN), tm.shape)))
+    merge(ny_ref, pick(jnp.broadcast_to(col(g, _C_UN + 1), tm.shape)))
+    merge(nz_ref, pick(jnp.broadcast_to(col(g, _C_UN + 2), tm.shape)))
+    merge(mat_ref, pick(jnp.broadcast_to(col(g, _C_MAT), tm.shape)))
 
 
 def _make_anyhit_kernel(block_f: int, n_blocks: int, nwords: int):
@@ -373,43 +411,52 @@ def _make_anyhit_kernel(block_f: int, n_blocks: int, nwords: int):
         nb = n_blocks
 
         def visit(jj):
-            if True:
-                base = pl.multiple_of(jj * block_f, block_f)
-                g = fpack_ref[pl.ds(base, block_f), :]
-                dc = dc_ref[pl.ds(base, block_f), :]
+            base = pl.multiple_of(jj * block_f, block_f)
+            g = fpack_ref[pl.ds(base, block_f), :]
+            dc = dc_ref[pl.ds(base, block_f), :]
+            _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref)
 
-                def col(m, k):
-                    return m[:, k:k + 1]
+        def all_occluded():
+            # every ray either occluded or inactive -> stop visiting
+            return jnp.min(jnp.maximum(occ_ref[:],
+                                       1.0 - act_ref[:])) >= 1.0
 
-                ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
-                ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
-                t = -(ndoto + col(dc, 0)) / ndotd
-
-                def edge(k, c):
-                    og = (col(g, k) * ox + col(g, k + 1) * oy
-                          + col(g, k + 2) * oz - col(dc, c))
-                    dg = (col(g, k) * dx + col(g, k + 1) * dy
-                          + col(g, k + 2) * dz)
-                    return og + t * dg
-
-                h0 = edge(3, 1)
-                h1 = edge(6, 2)
-                h2 = edge(9, 3)
-
-                hit = (
-                    (jnp.abs(ndotd) >= K_EPSILON)
-                    & (t >= 1e-3)
-                    & (h0 >= 0.0)
-                    & (h1 >= 0.0)
-                    & (h2 >= 0.0)
-                )
-                any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0) \
-                    * act_ref[:]
-                occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
-
-        _mask_word_loop(mask_ref, nwords, nb, i, visit)
+        _mask_word_loop(mask_ref, nwords, nb, i, visit,
+                        done_fn=all_occluded)
 
     return kernel
+
+
+def _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref):
+    """Any-hit block merge: occ |= any face in the block occludes."""
+
+    def col(m, k):
+        return m[:, k:k + 1]
+
+    ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
+    ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
+    t = -(ndoto + col(dc, 0)) / ndotd
+
+    def edge(k, c):
+        og = (col(g, k) * ox + col(g, k + 1) * oy
+              + col(g, k + 2) * oz - col(dc, c))
+        dg = (col(g, k) * dx + col(g, k + 1) * dy
+              + col(g, k + 2) * dz)
+        return og + t * dg
+
+    h0 = edge(3, 1)
+    h1 = edge(6, 2)
+    h2 = edge(9, 3)
+
+    hit = (
+        (jnp.abs(ndotd) >= K_EPSILON)
+        & (t >= 1e-3)
+        & (h0 >= 0.0)
+        & (h1 >= 0.0)
+        & (h2 >= 0.0)
+    )
+    any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0) * act_ref[:]
+    occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
 
 
 def _pad1(x, tile, fill=0.0):
@@ -458,16 +505,21 @@ def _mask_bit(mask_ref, nwords, i, jj):
     return (word >> (jj % 32)) & 1
 
 
-def _mask_word_loop(mask_ref, nwords, nb, i, visit):
+def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None):
     """In-kernel loop over active clusters: iterate the packed mask one
     32-bit word at a time, skipping zero words entirely (a tile that
     sees no geometry costs nb/32 scalar checks instead of nb), and
-    testing bits only inside non-zero words."""
+    testing bits only inside non-zero words. done_fn (optional) is a
+    scalar early-exit predicate re-evaluated per word — the any-hit
+    kernels stop as soon as every active ray is occluded."""
 
     def word_step(w, carry):
         word = mask_ref[i * nwords + w]
+        pred = word != 0
+        if done_fn is not None:
+            pred = jnp.logical_and(pred, jnp.logical_not(done_fn()))
 
-        @pl.when(word != 0)
+        @pl.when(pred)
         def _():
             def bit_step(b, c2):
                 @pl.when(((word >> b) & 1) > 0)
@@ -482,6 +534,175 @@ def _mask_word_loop(mask_ref, nwords, nb, i, visit):
     jax.lax.fori_loop(0, nwords, word_step, 0)
 
 
+def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, buf,
+                      sem, visit_bit, done_fn=None):
+    """HBM-streaming variant of _mask_word_loop (VERDICT r1: breaks the
+    all-VMEM scene-size ceiling). The (F, STREAM_COLS) face pack stays
+    in HBM; one packed mask word covers exactly one superblock of sup_f
+    faces (32 clusters x 32 faces). For each NONZERO word this loop
+    DMAs the superblock into VMEM scratch, waits, and visits the word's
+    set bits (32-face sub-blocks). No double buffering: a superblock's
+    DMA (512 KB, <1 us at HBM bandwidth) is dwarfed by its intersection
+    work (32 sub-blocks x 1024 rays), and skipped superblocks cost one
+    SMEM scalar read each.
+
+    mask_ref is THIS TILE's (1, n_super) SMEM block — unlike the
+    all-VMEM kernels' whole-array scalar prefetch, the big-scene mask
+    (tiles x superblocks: 4+ MB at 500k faces / 1080p) cannot live in
+    1 MB SMEM at once, so it streams per grid step via an SMEM
+    BlockSpec. done_fn: scalar early-exit predicate (see
+    _mask_word_loop) — also skips the DMA."""
+    bits = sup_f // block_f
+
+    def super_step(s, carry):
+        word = mask_ref[0, 0, s]
+        pred = word != 0
+        if done_fn is not None:
+            pred = jnp.logical_and(pred, jnp.logical_not(done_fn()))
+
+        @pl.when(pred)
+        def _():
+            cp = pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(s * sup_f, sup_f), :], buf, sem)
+            cp.start()
+            cp.wait()
+
+            def bit_step(b_, c2):
+                @pl.when(((word >> b_) & 1) > 0)
+                def _():
+                    visit_bit(s, b_)
+                return c2
+
+            jax.lax.fori_loop(0, bits, bit_step, 0)
+        return carry
+
+    jax.lax.fori_loop(0, n_super, super_step, 0)
+
+
+def _stream_scratch():
+    return [
+        pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+
+def _stream_mask_spec(mask, n_tiles, nwords, tile_r):
+    """Per-tile SMEM delivery of the packed mask for streaming kernels
+    (whole-array SMEM prefetch overflows the 1 MB SMEM at 500k faces x
+    1080p), plus the matching one-arg ray BlockSpec."""
+    # 3-D (T, 1, nwords) with (1, 1, nwords) blocks: Mosaic requires the
+    # last two BLOCK dims to equal the array dims (or be (8,128)-aligned)
+    mask_spec = pl.BlockSpec((1, 1, nwords), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
+                            memory_space=pltpu.VMEM)
+    return mask_spec, ray_spec, mask.reshape(n_tiles, 1, nwords)
+
+
+def _make_streaming_ch_kernel(with_nm: bool, block_f: int, sup_f: int,
+                              n_super: int):
+    """Shared-origin closest-hit with the face pack STREAMED from HBM."""
+    n_out = 20 if with_nm else 11
+
+    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, pack_hbm, *rest):
+        outs = rest[:n_out]
+        buf, sem = rest[n_out:]
+        (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
+         nx_ref, ny_ref, nz_ref, mat_ref) = outs[:11]
+        nm_refs = outs[11:] if with_nm else ()
+
+        t_ref[:] = jnp.full_like(t_ref, F32_INF)
+        for r_ in outs[1:]:
+            r_[:] = jnp.zeros_like(r_)
+
+        dx = _row1(dx_ref)
+        dy = _row1(dy_ref)
+        dz = _row1(dz_ref)
+
+        def visit_bit(s, b):
+            base = pl.multiple_of(b * block_f, block_f)
+            blk = buf[pl.ds(base, block_f), :]  # (BF, STREAM_COLS) value
+            g = blk[:, :FPACK_COLS]
+            o = blk[:, _SC_OT:_SC_OT + 8]
+            _ch_block(g, o, dx, dy, dz, s * sup_f + b * block_f,
+                      t_ref, face_ref, u_ref, v_ref, nd_ref,
+                      uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
+                      mat_ref, nm_refs)
+
+        _stream_word_loop(mask_ref, n_super, sup_f, block_f,
+                          pack_hbm, buf, sem, visit_bit)
+
+    return kernel
+
+
+def _make_streaming_chp_kernel(block_f: int, sup_f: int, n_super: int):
+    """Per-ray-origin closest-hit (bounce rays), HBM-streamed faces."""
+
+    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
+               pack_hbm, *rest):
+        outs = rest[:11]
+        buf, sem = rest[11:]
+        (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
+         nx_ref, ny_ref, nz_ref, mat_ref) = outs
+
+        t_ref[:] = jnp.full_like(t_ref, F32_INF)
+        for r_ in outs[1:]:
+            r_[:] = jnp.zeros_like(r_)
+
+        dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
+        ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
+
+        def visit_bit(s, b):
+            base = pl.multiple_of(b * block_f, block_f)
+            blk = buf[pl.ds(base, block_f), :]
+            g = blk[:, :FPACK_COLS]
+            dc = blk[:, _SC_DC:_SC_DC + 8]
+            _chp_block(g, dc, dx, dy, dz, ox, oy, oz,
+                       s * sup_f + b * block_f,
+                       t_ref, face_ref, u_ref, v_ref, nd_ref,
+                       uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref)
+
+        _stream_word_loop(mask_ref, n_super, sup_f, block_f,
+                          pack_hbm, buf, sem, visit_bit)
+
+    return kernel
+
+
+def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int):
+    """Shadow any-hit with per-ray origins, HBM-streamed faces."""
+
+    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
+               act_ref, pack_hbm, occ_ref, buf, sem):
+        occ_ref[:] = jnp.zeros_like(occ_ref)
+
+        dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
+        ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
+
+        def visit_bit(s, b):
+            base = pl.multiple_of(b * block_f, block_f)
+            blk = buf[pl.ds(base, block_f), :]
+            g = blk[:, :FPACK_COLS]
+            dc = blk[:, _SC_DC:_SC_DC + 8]
+            _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref)
+
+        def all_occluded():
+            return jnp.min(jnp.maximum(occ_ref[:],
+                                       1.0 - act_ref[:])) >= 1.0
+
+        _stream_word_loop(mask_ref, n_super, sup_f, block_f,
+                          pack_hbm, buf, sem, visit_bit,
+                          done_fn=all_occluded)
+
+    return kernel
+
+
+def _should_stream(f: int, block_f: int) -> bool:
+    """Stream the face pack from HBM when it no longer fits VMEM
+    comfortably. Requires superblock-aligned padding (core/scene.py pads
+    big scenes to SUPER_F) and the default cluster-sized face block."""
+    return f > STREAM_FACES and f % SUPER_F == 0 and block_f == CULL_BLOCK
+
+
 def _tile_bounds(x, tile_r):
     """Per-tile componentwise min/max of a padded (R,) plane."""
     t = x.reshape(-1, tile_r)
@@ -489,74 +710,62 @@ def _tile_bounds(x, tile_r):
 
 
 def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
-    """(tiles, clusters) i32 conservative activity mask.
+    """(tiles, clusters) i32 conservative activity mask — the FLAT scan.
 
     Interval-arithmetic slab test: a tile's rays are bounded by
     componentwise origin/direction intervals; a cluster AABB can only be
     hit if every axis admits some t >= 0 (ops/bvh.py has the NumPy
-    reference + derivation). ox.. may be scalars (shared origin) or
-    padded (R,) planes (per-ray shadow origins).
+    reference + derivation; ops/traverse.py the shared math). ox.. may
+    be scalars (shared origin) or padded (R,) planes (per-ray shadow
+    origins). O(tiles x clusters) — at large cluster counts the LBVH
+    walk (accel="bvh") replaces this.
     """
-    def bounds(v):
-        if jnp.ndim(v) == 0:
-            n = dx.shape[0] // tile_r
-            b = jnp.broadcast_to(v, (n,))
-            return b, b
-        return _tile_bounds(v, tile_r)
-
-    oxm, oxM = bounds(ox)
-    oym, oyM = bounds(oy)
-    ozm, ozM = bounds(oz)
-    dxm, dxM = _tile_bounds(dx, tile_r)
-    dym, dyM = _tile_bounds(dy, tile_r)
-    dzm, dzM = _tile_bounds(dz, tile_r)
-
-    omin = jnp.stack([oxm, oym, ozm], axis=1)  # (T,3)
-    omax = jnp.stack([oxM, oyM, ozM], axis=1)
-    dmin = jnp.stack([dxm, dym, dzm], axis=1)
-    dmax = jnp.stack([dxM, dyM, dzM], axis=1)
-
+    omin, omax, dmin, dmax = tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r)
     a = scene.blk_lo[None, :, :] - omax[:, None, :]  # (T,B,3)
     b = scene.blk_hi[None, :, :] - omin[:, None, :]
-    dn = dmin[:, None, :]
-    dp = dmax[:, None, :]
-
-    mixed = (dn <= 0.0) & (dp >= 0.0)
-    zero = (dn == 0.0) & (dp == 0.0)  # parked rays (direction == 0)
-    pos = dn > 0.0
-    # safe denominators (masked out where unused)
-    dp_s = jnp.where(jnp.abs(dp) > 1e-30, dp, 1e-30)
-    dn_s = jnp.where(jnp.abs(dn) > 1e-30, dn, 1e-30)
-
-    # t-range where [t*dn, t*dp] meets [a, b]:
-    #   dn,dp > 0: t*dn <= b AND t*dp >= a  ->  t in [a/dp if a>0, b/dn]
-    #   dn,dp < 0: t*dn <= b AND t*dp >= a  ->  t in [b/dn if b<0, a/dp]
-    #   dn==dp==0: reachable iff a <= 0 <= b (rays parked at a far
-    #   origin with zero direction are culled entirely)
-    lo_pos = jnp.where(a > 0.0, a / dp_s, 0.0)
-    hi_pos = jnp.where(b >= 0.0, b / dn_s, -1.0)
-    lo_neg = jnp.where(b < 0.0, b / dn_s, 0.0)
-    hi_neg = jnp.where(a <= 0.0, a / dp_s, -1.0)
-
-    lo_t = jnp.where(mixed, 0.0, jnp.where(pos, lo_pos, lo_neg))
-    hi_t = jnp.where(mixed, jnp.inf, jnp.where(pos, hi_pos, hi_neg))
-    hi_t = jnp.where(zero & ~((a <= 0.0) & (b >= 0.0)), -1.0, hi_t)
-
-    box_ok = jnp.all(b >= a, axis=2)
-    t0 = jnp.max(lo_t, axis=2)
-    t1 = jnp.min(hi_t, axis=2)
-    ok = box_ok & (t1 >= 0.0) & (t1 >= t0)
+    ok = slab_interval_ok(a, b, dmin[:, None, :], dmax[:, None, :])
     return ok.astype(jnp.int32)
 
 
+def _mask_words(scene: SceneData, accel: str, ox, oy, oz, dx, dy, dz,
+                tile_r: int, block_f: int, f: int):
+    """Packed per-(tile, cluster) activity words for the kernels.
+
+    accel: "brute" = all bits set (reference-parity brute force);
+    "cull" = flat interval scan; "bvh" = stackless LBVH walk
+    (ops/traverse.py). All three are conservative supersets of the true
+    hit set and kernels visit clusters in ascending order, so the frame
+    is bit-identical across strategies. Falls back from "bvh" to "cull"
+    when the scene carries no (valid) tree — e.g. per-frame instanced
+    scenes, whose device-side refit invalidates the host-built tree.
+    """
+    n_tiles = dx.shape[0] // tile_r
+    nb = f // block_f
+    nwords = -(-nb // 32)
+    if accel == "brute":
+        return jnp.full((n_tiles * nwords,), -1, jnp.int32), nwords
+    if accel == "bvh" and scene.bvh_nodes > 0 and block_f == CULL_BLOCK:
+        bounds = tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r)
+        words = bvh_walk_mask_words(scene.bvh_pack, scene.bvh_nodes,
+                                    *bounds, nwords)
+        return words.reshape(-1), nwords
+    mask = tile_cull_mask(scene, ox, oy, oz, dx, dy, dz, tile_r)
+    return _pack_mask_bits(_regroup_mask(mask, f, block_f))
+
+
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
-                                             "interpret", "with_nm"))
+                                             "interpret", "with_nm",
+                                             "accel", "stream"))
 def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                    tile_r: int = TILE_R, block_f: int = BLOCK_F,
-                   interpret: bool = False, with_nm: bool = False) -> GBuffer:
+                   interpret: bool = False, with_nm: bool = False,
+                   accel: str = "cull",
+                   stream: Optional[bool] = None) -> GBuffer:
     """Closest-hit G-buffer for shared-origin planar rays dx/dy/dz (R,).
     with_nm additionally resolves interpolated vertex normals + tangent
-    frames (normal-mapping path)."""
+    frames (normal-mapping path). accel picks the mask strategy
+    (brute/cull/bvh, see _mask_words); stream=None auto-selects the
+    HBM-streaming kernel for face packs too big for VMEM."""
     nrays = dx.shape[0]
     dx = _pad1(dx, tile_r)
     dy = _pad1(dy, tile_r)
@@ -566,13 +775,17 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     f = scene.tri_p0.shape[0]
     block_f = min(block_f, f)
     assert f % block_f == 0, (f, block_f)
+    if stream is None:
+        stream = _should_stream(f, block_f)
 
-    fpack = pack_face_columns(scene)
-    oterm = pack_origin_cols(scene, origin)
+    if stream:
+        spack = pack_stream_columns(scene, origin)
+    else:
+        fpack = pack_face_columns(scene)
+        oterm = pack_origin_cols(scene, origin)
 
-    mask = tile_cull_mask(scene, origin[0], origin[1], origin[2],
-                          dx, dy, dz, tile_r)
-    mask, nwords = _pack_mask_bits(_regroup_mask(mask, f, block_f))
+    mask, nwords = _mask_words(scene, accel, origin[0], origin[1], origin[2],
+                               dx, dy, dz, tile_r, block_f, f)
 
     n_out = 20 if with_nm else 11
     grid = (r // tile_r,)  # face-cluster loop runs inside the kernel
@@ -583,24 +796,43 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                  for _ in range(n_out)]
     out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # the cull mask rides SMEM
-        grid=grid,
-        in_specs=[
-            ray_spec, ray_spec, ray_spec,
-            pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, 8), lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-    )
-    outs = pl.pallas_call(
-        _make_closest_hit_kernel(with_nm, block_f, f // block_f, nwords),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(mask, dx, dy, dz, fpack, oterm)
+    if stream:
+        n_super = f // SUPER_F
+        assert nwords == n_super, (nwords, n_super)
+        mask_spec, ray_spec_s, mask2d = _stream_mask_spec(mask, grid[0],
+                                                          nwords, tile_r)
+        outs = pl.pallas_call(
+            _make_streaming_ch_kernel(with_nm, block_f, SUPER_F, n_super),
+            grid=grid,
+            in_specs=[
+                mask_spec, ray_spec_s, ray_spec_s, ray_spec_s,
+                pl.BlockSpec(memory_space=pl.ANY),  # face pack stays HBM
+            ],
+            out_specs=[ray_spec_s] * n_out,
+            out_shape=out_shape,
+            scratch_shapes=_stream_scratch(),
+            interpret=interpret,
+        )(mask2d, dx, dy, dz, spack)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # the cull mask rides SMEM
+            grid=grid,
+            in_specs=[
+                ray_spec, ray_spec, ray_spec,
+                pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f, 8), lambda i, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        )
+        outs = pl.pallas_call(
+            _make_closest_hit_kernel(with_nm, block_f, f // block_f,
+                                     nwords),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(mask, dx, dy, dz, fpack, oterm)
 
     outs = [o[:nrays] for o in outs]
     t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = outs[:11]
@@ -612,10 +844,12 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                    nx=nx, ny=ny, nz=nz, mat=mat, **nm)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
+                                             "interpret", "accel", "stream"))
 def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
                           tile_r: int = TILE_R, block_f: int = BLOCK_F,
-                          interpret: bool = False) -> GBuffer:
+                          interpret: bool = False, accel: str = "cull",
+                          stream: Optional[bool] = None) -> GBuffer:
     """Closest-hit G-buffer for PER-RAY-origin planar rays (bounce rays).
     Terminated paths should carry dirs == 0 (they cannot hit)."""
     nrays = dx.shape[0]
@@ -625,15 +859,12 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
     f = scene.tri_p0.shape[0]
     block_f = min(block_f, f)
     assert f % block_f == 0
-
-    fpack = pack_face_columns(scene)
-    dc = jnp.concatenate(
-        [scene.tri_d[:, None], scene.tri_c,
-         jnp.zeros((f, 4), jnp.float32)], axis=1)
+    if stream is None:
+        stream = _should_stream(f, block_f)
 
     dxp, dyp, dzp, oxp, oyp, ozp = planes
-    mask = tile_cull_mask(scene, oxp, oyp, ozp, dxp, dyp, dzp, tile_r)
-    mask, nwords = _pack_mask_bits(_regroup_mask(mask, f, block_f))
+    mask, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
+                               dxp, dyp, dzp, tile_r, block_f, f)
 
     grid = (r // tile_r,)
     ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
@@ -642,33 +873,57 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
     out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(11)]
     out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[ray_spec] * 6 + [
-            pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, 8), lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-    )
-    outs = pl.pallas_call(
-        _make_closest_hit_perray_kernel(block_f, f // block_f, nwords),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(mask, *planes, fpack, dc)
+    if stream:
+        n_super = f // SUPER_F
+        assert nwords == n_super, (nwords, n_super)
+        spack = pack_stream_columns(scene)
+        mask_spec, ray_spec_s, mask2d = _stream_mask_spec(mask, grid[0],
+                                                          nwords, tile_r)
+        outs = pl.pallas_call(
+            _make_streaming_chp_kernel(block_f, SUPER_F, n_super),
+            grid=grid,
+            in_specs=[mask_spec] + [ray_spec_s] * 6 + [
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[ray_spec_s] * 11,
+            out_shape=out_shape,
+            scratch_shapes=_stream_scratch(),
+            interpret=interpret,
+        )(mask2d, *planes, spack)
+    else:
+        fpack = pack_face_columns(scene)
+        dc = jnp.concatenate(
+            [scene.tri_d[:, None], scene.tri_c,
+             jnp.zeros((f, 4), jnp.float32)], axis=1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[ray_spec] * 6 + [
+                pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f, 8), lambda i, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        )
+        outs = pl.pallas_call(
+            _make_closest_hit_perray_kernel(block_f, f // block_f, nwords),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(mask, *planes, fpack, dc)
 
     t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = [o[:nrays] for o in outs]
     return GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
                    nx=nx, ny=ny, nz=nz, mat=mat)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_r", "block_f", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
+                                             "interpret", "accel", "stream"))
 def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
                   tile_r: int = TILE_R, block_f: int = BLOCK_F,
-                  interpret: bool = False):
+                  interpret: bool = False, accel: str = "cull",
+                  stream: Optional[bool] = None):
     """Planar any-hit: returns (R,) bool occlusion for per-ray origins."""
     nrays = dx.shape[0]
     args = [_pad1(a, tile_r) for a in (dx, dy, dz, ox, oy, oz)]
@@ -678,36 +933,55 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
     f = scene.tri_p0.shape[0]
     block_f = min(block_f, f)
     assert f % block_f == 0
-
-    fpack = pack_face_columns(scene)
-    dc = jnp.concatenate(
-        [scene.tri_d[:, None], scene.tri_c,
-         jnp.zeros((f, 4), jnp.float32)], axis=1)  # (F, 8)
+    if stream is None:
+        stream = _should_stream(f, block_f)
 
     dxp, dyp, dzp, oxp, oyp, ozp = args
-    mask = tile_cull_mask(scene, oxp, oyp, ozp, dxp, dyp, dzp, tile_r)
-    mask, nwords = _pack_mask_bits(_regroup_mask(mask, f, block_f))
+    mask, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
+                               dxp, dyp, dzp, tile_r, block_f, f)
 
     grid = (r // tile_r,)
     ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
                             memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[ray_spec] * 7 + [
-            pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, 8), lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=ray_spec,
-    )
-    occ = pl.pallas_call(
-        _make_anyhit_kernel(block_f, f // block_f, nwords),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
-        interpret=interpret,
-    )(mask, *args, act, fpack, dc)
+    if stream:
+        n_super = f // SUPER_F
+        assert nwords == n_super, (nwords, n_super)
+        spack = pack_stream_columns(scene)
+        mask_spec, ray_spec_s, mask2d = _stream_mask_spec(mask, grid[0],
+                                                          nwords, tile_r)
+        occ = pl.pallas_call(
+            _make_streaming_anyhit_kernel(block_f, SUPER_F, n_super),
+            grid=grid,
+            in_specs=[mask_spec] + [ray_spec_s] * 7 + [
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=ray_spec_s,
+            out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
+            scratch_shapes=_stream_scratch(),
+            interpret=interpret,
+        )(mask2d, *args, act, spack)
+    else:
+        fpack = pack_face_columns(scene)
+        dc = jnp.concatenate(
+            [scene.tri_d[:, None], scene.tri_c,
+             jnp.zeros((f, 4), jnp.float32)], axis=1)  # (F, 8)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[ray_spec] * 7 + [
+                pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f, 8), lambda i, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=ray_spec,
+        )
+        occ = pl.pallas_call(
+            _make_anyhit_kernel(block_f, f // block_f, nwords),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
+            interpret=interpret,
+        )(mask, *args, act, fpack, dc)
 
     return occ[:nrays] > 0.0
 
@@ -745,14 +1019,20 @@ def raygen_planar(width, height, uni: CameraUniforms, row0=None,
 
 
 def raygen_planar_tiled(width, height, uni: CameraUniforms, row0=None,
-                        total_height=None):
-    """raygen_planar but rays ordered by (8 x 128)-PIXEL SCREEN TILES so
-    each kernel ray-tile (TILE_R=1024 consecutive rays) is a compact 2D
-    screen block instead of a half-scanline: the tile direction cone
-    tightens and interval culling skips far more clusters. Requires
-    height % 8 == 0 and width % 128 == 0. Index math is pure arithmetic
-    (no gathers). Returns (dx, dy, dz) in TILED order; reassemble
-    outputs with tiled_to_image()."""
+                        total_height=None, tile_h: int = 8,
+                        tile_w: int = 128):
+    """raygen_planar but rays ordered by (tile_h x tile_w)-PIXEL SCREEN
+    TILES so each kernel ray-tile (TILE_R=1024 consecutive rays) is a
+    compact 2D screen block instead of a half-scanline: the tile
+    direction cone tightens and interval culling skips far more
+    clusters. Squarer tiles cull harder — 32x32 tiles carry a ~2.4x
+    sparser cluster mask than 8x128 on the 522k-face terrain (measured)
+    because the cone diameter shrinks ~2.8x. Requires height % tile_h
+    == 0 and width % tile_w == 0 (render_megakernel pads rows and crops
+    to make this hold; NDC y still uses the TRUE height so visible
+    pixels' rays are bit-identical to the untiled order). Index math is
+    pure arithmetic (no gathers). Returns (dx, dy, dz) in TILED order;
+    reassemble outputs with tiled_to_image()."""
     proj_inv = jnp.asarray(uni.proj_inv_wgpu, jnp.float32)
     view_inv = jnp.asarray(uni.view_inv, jnp.float32)
     m = jnp.matmul(view_inv[:3, :3], proj_inv[:3, :], precision=HI)
@@ -760,12 +1040,13 @@ def raygen_planar_tiled(width, height, uni: CameraUniforms, row0=None,
 
     th = total_height or height
     r = width * height
-    tiles_x = width // 128
+    tsz = tile_h * tile_w
+    tiles_x = width // tile_w
     ridx = jnp.arange(r, dtype=jnp.int32)
-    tile = ridx // 1024
-    within = ridx % 1024
-    py = (tile // tiles_x) * 8 + within // 128
-    px = (tile % tiles_x) * 128 + within % 128
+    tile = ridx // tsz
+    within = ridx % tsz
+    py = (tile // tiles_x) * tile_h + within // tile_w
+    px = (tile % tiles_x) * tile_w + within % tile_w
     yb = py.astype(jnp.float32)
     if row0 is not None:
         yb = yb + row0
@@ -779,12 +1060,26 @@ def raygen_planar_tiled(width, height, uni: CameraUniforms, row0=None,
     return dx * inv_l, dy * inv_l, dz * inv_l
 
 
-def tiled_to_image(plane, width, height):
-    """(R,) plane in (8 x 128)-tile order -> (H, W)."""
-    tiles_x = width // 128
-    tiles_y = height // 8
-    return plane.reshape(tiles_y, tiles_x, 8, 128).transpose(
+def tiled_to_image(plane, width, height, tile_h: int = 8,
+                   tile_w: int = 128):
+    """(R,) plane in (tile_h x tile_w)-tile order -> (H, W)."""
+    tiles_x = width // tile_w
+    tiles_y = height // tile_h
+    return plane.reshape(tiles_y, tiles_x, tile_h, tile_w).transpose(
         0, 2, 1, 3).reshape(height, width)
+
+
+def _pick_tile_shape(width: int, height: int):
+    """Squarest 1024-ray screen tile the frame admits: tile_w must
+    divide width; rows are padded to a tile_h multiple (then cropped),
+    so tile_h is free. Returns (tile_h, tile_w, padded_height) or None
+    (fall back to untiled scanline order)."""
+    for tile_w in (32, 64, 128):
+        if width % tile_w == 0:
+            tile_h = TILE_R // tile_w
+            h_pad = -(-height // tile_h) * tile_h
+            return tile_h, tile_w, h_pad
+    return None
 
 
 def _norm3(x, y, z):
@@ -991,26 +1286,41 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
                       near: float = 0.01, far: float = 100.0,
                       background=(0.0, 0.0, 0.0), shadows: bool = False,
                       quantize: bool = True, normal_mapping: bool = False,
-                      accel: str = "brute", interpret: bool = False,
+                      accel: str = "cull", interpret: bool = False,
                       row0=None, total_height: Optional[int] = None):
     """One frame, fully fused under one jit: planar raygen -> sphere
     passes -> Pallas G-buffer -> one-gather texture shade -> composite.
     The reference's whole render() pass DAG (src/lib.rs:1012-1230)
     collapses into this single compiled program. Returns
     (color (H,W,3) f32, depth (H,W) f32).
+
+    accel selects the intersection acceleration strategy (bit-identical
+    output across all three, tested): "brute" = no culling (reference
+    parity, triangle_list/compute.wgsl:186-202), "cull" = flat
+    tile-interval cluster mask, "bvh" = stackless LBVH traversal
+    (ops/traverse.py; BASELINE north star).
     """
-    del accel  # cull/brute both route through the masked kernels
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     origin = uni.origin
 
-    tiled = height % 8 == 0 and width % 128 == 0
+    th_total = total_height or height
+    shape = _pick_tile_shape(width, height)
+    if shape is not None and row0 is not None and shape[2] != height:
+        # sharded row slabs must not render past their slab; keep the
+        # legacy unpadded tile shape there
+        shape = (8, 128, height) if height % 8 == 0 and \
+            width % 128 == 0 else None
+    tiled = shape is not None
     if tiled:
-        dx, dy, dz = raygen_planar_tiled(width, height, uni, row0=row0,
-                                         total_height=total_height)
+        tile_h, tile_w, render_h = shape
+        dx, dy, dz = raygen_planar_tiled(width, render_h, uni, row0=row0,
+                                         total_height=th_total,
+                                         tile_h=tile_h, tile_w=tile_w)
     else:
+        render_h = height
         dx, dy, dz = raygen_planar(width, height, uni, row0=row0,
                                    total_height=total_height)
-    r = width * height
+    r = width * render_h
 
     bg = jnp.asarray(background, jnp.float32)
     cr = jnp.full((r,), bg[0])
@@ -1069,7 +1379,7 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     # --- mesh pass (Pallas G-buffer + one-gather shading) ---
     if has_mesh:
         gb = gbuffer_pallas(scene, origin, dx, dy, dz, interpret=interpret,
-                            with_nm=normal_mapping)
+                            with_nm=normal_mapping, accel=accel)
         hit = jnp.isfinite(gb.t)
 
         flip = gb.nd > 0.0
@@ -1166,7 +1476,7 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         occ = jnp.zeros((r,), bool)
         if has_mesh:
             occ = anyhit_pallas(scene, px, py, pz, sdx, sdy, sdz, covered,
-                                interpret=interpret)
+                                interpret=interpret, accel=accel)
         occ = occ | _spheres_occlude_planar(scene, px, py, pz, sdx, sdy, sdz)
         shadowed = covered & occ
         cr = jnp.where(shadowed, w_ar, cr)
@@ -1179,10 +1489,11 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         cb = jnp.floor(jnp.clip(cb, 0.0, 1.0) * 255.0 + 0.5) / 255.0
 
     if tiled:
-        cr = tiled_to_image(cr, width, height)
-        cg = tiled_to_image(cg, width, height)
-        cb = tiled_to_image(cb, width, height)
-        depth = tiled_to_image(depth, width, height)
+        cr = tiled_to_image(cr, width, render_h, tile_h, tile_w)[:height]
+        cg = tiled_to_image(cg, width, render_h, tile_h, tile_w)[:height]
+        cb = tiled_to_image(cb, width, render_h, tile_h, tile_w)[:height]
+        depth = tiled_to_image(depth, width, render_h,
+                               tile_h, tile_w)[:height]
         color = jnp.stack([cr, cg, cb], axis=-1)
         return color, depth
     color = jnp.stack(
