@@ -459,6 +459,127 @@ def _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref):
     occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
 
 
+def _make_fused_extend_shadow_kernel(block_f: int, n_blocks: int,
+                                     nwords: int):
+    """Wavefront fusion for the path tracer: ONE sweep over the face
+    pack serves TWO independent ray wavefronts — the NEE shadow rays of
+    bounce k (any-hit) and the extension rays of bounce k+1 (per-ray
+    closest-hit). Classic wavefront PT compacts surviving rays between
+    bounces; on TPU v5e a compaction is gathers (~10 ns/index — more
+    than it saves, measured), so instead dead lanes park outside the
+    cluster cones and the two wavefronts FUSE to amortize the
+    per-kernel sweep cost (grid + output init + mask walk, ~6 ms each
+    at 1080p). The mask is the UNION of both wavefronts' cluster masks;
+    visiting a cluster only one set needs is harmless (closest-hit
+    merges are idempotent, any-hit is an OR), so both results are
+    bit-identical to the separate kernels."""
+
+    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
+               sdx_ref, sdy_ref, sdz_ref, sox_ref, soy_ref, soz_ref,
+               act_ref, fpack_ref, dc_ref, *outs):
+        (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
+         nx_ref, ny_ref, nz_ref, mat_ref, occ_ref) = outs
+
+        i = pl.program_id(0)
+        t_ref[:] = jnp.full_like(t_ref, F32_INF)
+        for r_ in outs[1:]:
+            r_[:] = jnp.zeros_like(r_)
+
+        dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
+        ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
+        sdx, sdy, sdz = _row1(sdx_ref), _row1(sdy_ref), _row1(sdz_ref)
+        sox, soy, soz = _row1(sox_ref), _row1(soy_ref), _row1(soz_ref)
+        nb = n_blocks
+
+        def visit(jj):
+            base = pl.multiple_of(jj * block_f, block_f)
+            g = fpack_ref[pl.ds(base, block_f), :]
+            dc = dc_ref[pl.ds(base, block_f), :]
+            _chp_block(g, dc, dx, dy, dz, ox, oy, oz, jj * block_f,
+                       t_ref, face_ref, u_ref, v_ref, nd_ref,
+                       uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref)
+            _ah_block(g, dc, sdx, sdy, sdz, sox, soy, soz, act_ref,
+                      occ_ref)
+
+        _mask_word_loop(mask_ref, nwords, nb, i, visit)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
+                                             "interpret", "accel"))
+def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
+                         sox, soy, soz, sdx, sdy, sdz, active, *,
+                         tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                         interpret: bool = False, accel: str = "cull"):
+    """Fused per-bounce sweep: closest-hit for extension rays
+    (ox..,dx..) AND any-hit occlusion for shadow rays (sox..,sdx..,
+    active) in one kernel pass. Returns (GBuffer, occluded (R,) bool).
+    Falls back to two kernels for HBM-streamed scenes."""
+    f = scene.tri_p0.shape[0]
+    if _should_stream(f, min(block_f, f)):
+        gb = gbuffer_perray_pallas(scene, ox, oy, oz, dx, dy, dz,
+                                   tile_r=tile_r, block_f=block_f,
+                                   interpret=interpret, accel=accel)
+        occ = anyhit_pallas(scene, sox, soy, soz, sdx, sdy, sdz, active,
+                            tile_r=tile_r, block_f=block_f,
+                            interpret=interpret, accel=accel)
+        return gb, occ
+
+    nrays = dx.shape[0]
+    planes = [_pad1(a, tile_r) for a in (dx, dy, dz, ox, oy, oz,
+                                         sdx, sdy, sdz, sox, soy, soz)]
+    act = _pad1(active.astype(jnp.float32), tile_r)
+    r = planes[0].shape[0]
+
+    block_f = min(block_f, f)
+    assert f % block_f == 0
+
+    fpack = pack_face_columns(scene)
+    dc = jnp.concatenate(
+        [scene.tri_d[:, None], scene.tri_c,
+         jnp.zeros((f, 4), jnp.float32)], axis=1)
+
+    (dxp, dyp, dzp, oxp, oyp, ozp,
+     sdxp, sdyp, sdzp, soxp, soyp, sozp) = planes
+    words_a, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
+                                  dxp, dyp, dzp, tile_r, block_f, f)
+    words_b, _ = _mask_words(scene, accel, soxp, soyp, sozp,
+                             sdxp, sdyp, sdzp, tile_r, block_f, f)
+    mask = words_a | words_b  # union of the two wavefronts' masks
+
+    grid = (r // tile_r,)
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
+                            memory_space=pltpu.VMEM)
+    out_specs = [ray_spec] * 12
+    out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(12)]
+    out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[ray_spec] * 13 + [
+            pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, 8), lambda i, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        _make_fused_extend_shadow_kernel(block_f, f // block_f, nwords),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(mask, *planes, act, fpack, dc)
+
+    t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat, occ = [
+        o[:nrays] for o in outs]
+    gb = GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
+                 nx=nx, ny=ny, nz=nz, mat=mat)
+    return gb, occ > 0.0
+
+
 def _pad1(x, tile, fill=0.0):
     pad = (-x.shape[0]) % tile
     if pad:
@@ -1263,6 +1384,25 @@ def sample_packed_texture(pool, base, hw_h, hw_w, u, v,
     """
     taps, fx, fy = gather_packed_taps(pool, base, hw_h, hw_w, u, v)
     return _texfilter_pallas(taps, fx, fy, interpret=interpret)
+
+
+def sample_packed_texture_nearest(pool, base, hw_h, hw_w, u, v):
+    """ONE 3-row gather, nearest texel, no filter kernel.
+
+    Used for INDIRECT-bounce albedo in the path tracer: after the
+    cosine-weighted hemisphere integration, bilinear filtering of the
+    bounce albedo is visually invisible but costs a 4x bigger gather
+    payload (12 vs 3 u16 rows, ~6 ms vs ~1.5 ms at 1080p) plus the
+    filter kernel. Primary-visibility shading stays bilinear."""
+    x = jnp.clip(jnp.floor(u * hw_w), 0.0, hw_w - 1.0).astype(jnp.int32)
+    y = jnp.clip(jnp.floor(v * hw_h), 0.0, hw_h - 1.0).astype(jnp.int32)
+    flat = base.astype(jnp.int32) + y * hw_w.astype(jnp.int32) + x
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(1,), start_index_map=(1,))
+    taps = jax.lax.gather(pool, flat[:, None], dn, slice_sizes=(3, 1),
+                          mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    rgb = taps.astype(jnp.float32) * (1.0 / 65535.0)
+    return rgb[0], rgb[1], rgb[2]
 
 
 def _mat_const(scene: SceneData, mat_f32, getter):

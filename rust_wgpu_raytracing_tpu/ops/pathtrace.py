@@ -8,10 +8,19 @@ progressive sample accumulation.
 Design, TPU-first:
 - paths are PLANAR ray state ((R,) component planes) stepped through a
   fixed bounce loop (static trip count — XLA-friendly control flow);
-- bounce 0 uses the shared-origin Pallas G-buffer; later bounces the
-  per-ray-origin variant; terminated paths carry zero directions so
-  every kernel treats them as guaranteed misses (lane masking, not
+- bounce 0 uses the shared-origin Pallas G-buffer; later bounces run
+  the FUSED extend+shadow sweep (megakernel.extend_shadow_pallas): the
+  NEE shadow any-hit of bounce k and the closest-hit of bounce k+1 are
+  independent ray wavefronts against the same geometry, so one kernel
+  sweep serves both. Terminated paths carry zero directions + far
+  origins so the cluster cull drops dead tiles (lane masking, not
   divergence);
+- classic wavefront COMPACTION was measured and rejected for this
+  hardware: XLA gathers cost ~3-10 ns per INDEX regardless of payload
+  (a 2M-index gather is ~6 ms whether it fetches 3 or 12 u16 rows), so
+  permuting ~10 state planes to compact survivors costs far more than
+  the dead-lane work it removes — the far-park + tile-cull mechanism
+  already skips dead regions without moving any data;
 - randomness is jax.random (counter-based, reproducible) generated
   OUTSIDE the kernels on planar arrays;
 - materials: texture/sphere albedo as Lambertian reflectance; specular
@@ -30,11 +39,11 @@ import jax.numpy as jnp
 from ..core.camera import CameraUniforms
 from ..core.scene import SceneData
 from .intersect import HI
-from .megakernel import (anyhit_pallas, blinn_phong_planar, gbuffer_pallas,
-                         gbuffer_perray_pallas, raygen_planar, _mat_const,
-                         _norm3, _spheres_occlude_planar,
-                         sample_packed_texture, sphere_pass_planar,
-                         tiled_to_image)
+from .megakernel import (anyhit_pallas, extend_shadow_pallas,
+                         gbuffer_pallas, _mat_const,
+                         _spheres_occlude_planar,
+                         sample_packed_texture, sample_packed_texture_nearest,
+                         sphere_pass_planar, tiled_to_image)
 from .raygen import ndc_grid
 
 F32_INF = float("inf")
@@ -159,26 +168,15 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
         lg = jnp.zeros((r,))
         lb = jnp.zeros((r,))
 
+        # primary closest hit (shared-origin kernel); later bounces
+        # arrive pre-computed by the FUSED extend+shadow sweep below
+        gb = (gbuffer_pallas(scene, uni.origin, dx, dy, dz,
+                             interpret=interpret) if has_mesh else None)
+        sph = [sphere_pass_planar(scene, i, uni.origin, dx, dy, dz)
+               for i in range(scene.num_spheres)]
+
         for bounce in range(bounces + 1):
             kb = jax.random.fold_in(ks, bounce + 1)
-            if bounce == 0:
-                gb = (gbuffer_pallas(scene, uni.origin, dx, dy, dz,
-                                     interpret=interpret)
-                      if has_mesh else None)
-            else:
-                gb = (gbuffer_perray_pallas(scene, ox, oy, oz, dx, dy, dz,
-                                            interpret=interpret)
-                      if has_mesh else None)
-
-            sph = []
-            for i in range(scene.num_spheres):
-                if bounce == 0:
-                    ts, hs, sx, sy, sz = sphere_pass_planar(
-                        scene, i, uni.origin, dx, dy, dz)
-                else:
-                    ts, hs, sx, sy, sz = _sphere_perray(
-                        scene, i, ox, oy, oz, dx, dy, dz)
-                sph.append((ts, hs, sx, sy, sz))
 
             if gb is not None:
                 gb_hit = jnp.isfinite(gb.t) & active
@@ -209,6 +207,11 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
                                       lambda k: scene.mat_tex_base[k])
                 hw_h = _mat_const(scene, gb.mat, lambda k: scene.mat_tex_h[k])
                 hw_w = _mat_const(scene, gb.mat, lambda k: scene.mat_tex_w[k])
+                # bilinear everywhere: the gather cost is per-INDEX on
+                # this hardware (measured: a 3-row nearest gather costs
+                # the same ~6 ms as the 12-row bilinear one), so point
+                # sampling indirect albedo would change output for zero
+                # speedup
                 ar, ag, ab = sample_packed_texture(
                     scene.tex_packed, tex_base, hw_h, hw_w,
                     gb.uvx, 1.0 - gb.uvy, interpret=interpret)
@@ -238,8 +241,32 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
             px = ox + dx * ts_safe + nx * 1e-3
             py = oy + dy * ts_safe + ny * 1e-3
             pz = oz + dz * ts_safe + nz * 1e-3
+
+            last = bounce == bounces
+            if not last:
+                # sample the NEXT extension wavefront now: its closest
+                # hit is independent of this bounce's occlusion, so the
+                # two ray sets share ONE fused kernel sweep (wavefront
+                # fusion — see _make_fused_extend_shadow_kernel)
+                bdx, bdy, bdz = _cosine_sample(nx, ny, nz, kb)
+                nactive = hit
+                ndx = jnp.where(nactive, bdx, 0.0)
+                ndy = jnp.where(nactive, bdy, 0.0)
+                ndz = jnp.where(nactive, bdz, 0.0)
+                # park terminated paths far away so the cluster cull
+                # drops whole (tile, cluster) visits for dead regions
+                far = 1e9
+                nox = jnp.where(nactive, px, far)
+                noy = jnp.where(nactive, py, far)
+                noz = jnp.where(nactive, pz, far)
+
             occ = jnp.zeros((r,), bool)
-            if has_mesh:
+            gb_next = None
+            if has_mesh and not last:
+                gb_next, occ = extend_shadow_pallas(
+                    scene, nox, noy, noz, ndx, ndy, ndz,
+                    px, py, pz, sdx, sdy, sdz, hit, interpret=interpret)
+            elif has_mesh:
                 occ = anyhit_pallas(scene, px, py, pz, sdx, sdy, sdz, hit,
                                     interpret=interpret)
             occ = occ | _spheres_occlude_planar(scene, px, py, pz,
@@ -250,24 +277,19 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
             lg = lg + beta_g * ag * lam
             lb = lb + beta_b * ab * lam
 
-            if bounce == bounces:
+            if last:
                 break
 
-            # ---- bounce ----
-            bdx, bdy, bdz = _cosine_sample(nx, ny, nz, kb)
+            # ---- advance the wavefront ----
             active = hit
-            dx = jnp.where(active, bdx, 0.0)
-            dy = jnp.where(active, bdy, 0.0)
-            dz = jnp.where(active, bdz, 0.0)
-            # park terminated paths far away so the cluster cull drops
-            # whole (tile, cluster) visits for dead regions
-            far = 1e9
-            ox = jnp.where(active, px, far)
-            oy = jnp.where(active, py, far)
-            oz = jnp.where(active, pz, far)
+            dx, dy, dz = ndx, ndy, ndz
+            ox, oy, oz = nox, noy, noz
             beta_r = beta_r * jnp.where(active, ar, 0.0)
             beta_g = beta_g * jnp.where(active, ag, 0.0)
             beta_b = beta_b * jnp.where(active, ab, 0.0)
+            gb = gb_next
+            sph = [_sphere_perray(scene, i, ox, oy, oz, dx, dy, dz)
+                   for i in range(scene.num_spheres)]
 
         acc_r = acc_r + lr
         acc_g = acc_g + lg
