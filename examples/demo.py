@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """End-to-end demo of every major capability. Writes PNGs to ./out.
 
-    python examples/demo.py            # auto backend (TPU if available)
-    JAX_PLATFORMS=cpu python examples/demo.py --small
+    python examples/demo.py                 # auto backend (TPU if available)
+    python examples/demo.py --small --cpu   # fast local run
 
-On CPU the Pallas kernels run in interpret mode — use --small.
+On CPU the Pallas kernels run in interpret mode — use --small. (--cpu
+forces the CPU platform even when a tunneled-TPU sitecustomize presets
+jax_platforms; a plain JAX_PLATFORMS=cpu env var would be overridden.)
 """
 
 import argparse
@@ -21,11 +23,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="tiny sizes for CPU/interpret runs")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (interpret-mode kernels)")
     ap.add_argument("--out", default="out")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import rust_wgpu_raytracing_tpu as rwrt
@@ -97,6 +104,22 @@ def main():
     save_checkpoint(ck, r)
     r5 = load_checkpoint(ck)
     print("checkpoint restored: frame", r5.frame_count, "eye", r5.camera.eye)
+
+    # 6. large procedural scene (HBM-streamed face pack) with the LBVH
+    # acceleration path — way beyond the reference's 428-face maximum
+    grid_n = 512 if big else 48
+    cfg = SceneConfig(
+        meshes=(MeshConfig(obj_path=f"builtin:terrain:{grid_n}",
+                           translation=(0.0, 0.0, -3.0)),),
+        camera=CameraConfig(eye=(0.0, -0.4, -1.2), target=(0.0, 0.0, -3.0)),
+        render=RenderConfig(width=W, height=H, accel="bvh",
+                            shadows=not big))
+    r6 = rwrt.Renderer(cfg, backend="megakernel")
+    c6, _ = r6.render(block=True)
+    nf = r6.scene.data.num_faces
+    save("6_terrain_bvh.png", c6)
+    print(f"   {nf:,} faces, accel=bvh, streamed="
+          f"{r6.scene.data.padded_faces > 16384}: {r6.last_frame_ms:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -112,7 +112,8 @@ class Renderer:
             from ..ops.megakernel import render_megakernel
 
             self._frame_fn = lambda scene, uni: render_megakernel(
-                scene, uni, accel=rc.accel, **kwargs)
+                scene, uni, accel=rc.accel,
+                interpret=interactive_interpret, **kwargs)
         else:
             raise ValueError(f"unknown backend {self.backend!r}")
 
