@@ -399,10 +399,13 @@ def _chp_block(g, dc, dx, dy, dz, ox, oy, oz, face_base,
 def _make_anyhit_kernel(block_f: int, n_blocks: int, nwords: int):
     """Shadow any-hit with PER-RAY origins (planar, in-kernel cluster
     loop). act_ref masks rays that need testing (inactive rays stay
-    unoccluded). dc_ref (F, 8): cols [d, c0, c1, c2, 0...]."""
+    unoccluded). dc_ref (F, 8): cols [d, c0, c1, c2, 0...]. Words are
+    visited in order_ref order (near-to-far along the light) so the
+    all-occluded early exit fires after the first blocking geometry."""
 
-    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
-               act_ref, fpack_ref, dc_ref, occ_ref):
+    def kernel(mask_ref, order_ref, dx_ref, dy_ref, dz_ref,
+               ox_ref, oy_ref, oz_ref, act_ref, fpack_ref, dc_ref,
+               occ_ref):
         i = pl.program_id(0)
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
@@ -422,7 +425,7 @@ def _make_anyhit_kernel(block_f: int, n_blocks: int, nwords: int):
                                        1.0 - act_ref[:])) >= 1.0
 
         _mask_word_loop(mask_ref, nwords, nb, i, visit,
-                        done_fn=all_occluded)
+                        done_fn=all_occluded, order_ref=order_ref)
 
     return kernel
 
@@ -626,15 +629,21 @@ def _mask_bit(mask_ref, nwords, i, jj):
     return (word >> (jj % 32)) & 1
 
 
-def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None):
+def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None,
+                    order_ref=None):
     """In-kernel loop over active clusters: iterate the packed mask one
     32-bit word at a time, skipping zero words entirely (a tile that
     sees no geometry costs nb/32 scalar checks instead of nb), and
     testing bits only inside non-zero words. done_fn (optional) is a
     scalar early-exit predicate re-evaluated per word — the any-hit
-    kernels stop as soon as every active ray is occluded."""
+    kernels stop as soon as every active ray is occluded. order_ref
+    (optional, SMEM (nwords,) i32 permutation) replays the words in a
+    caller-chosen order — the shadow kernels sort words near-to-far
+    along the light so occluders are met (and the early exit fires)
+    first; any order is correct (the merges are order-independent)."""
 
-    def word_step(w, carry):
+    def word_step(k, carry):
+        w = order_ref[k] if order_ref is not None else k
         word = mask_ref[i * nwords + w]
         pred = word != 0
         if done_fn is not None:
@@ -656,7 +665,7 @@ def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None):
 
 
 def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, buf,
-                      sem, visit_bit, done_fn=None):
+                      sem, visit_bit, done_fn=None, order_ref=None):
     """HBM-streaming variant of _mask_word_loop (VERDICT r1: breaks the
     all-VMEM scene-size ceiling). The (F, STREAM_COLS) face pack stays
     in HBM; one packed mask word covers exactly one superblock of sup_f
@@ -672,10 +681,13 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, buf,
     (tiles x superblocks: 4+ MB at 500k faces / 1080p) cannot live in
     1 MB SMEM at once, so it streams per grid step via an SMEM
     BlockSpec. done_fn: scalar early-exit predicate (see
-    _mask_word_loop) — also skips the DMA."""
+    _mask_word_loop) — also skips the DMA. order_ref: optional SMEM
+    (n_super,) i32 visit permutation (shadow kernels sort near-to-far
+    along the light)."""
     bits = sup_f // block_f
 
-    def super_step(s, carry):
+    def super_step(k, carry):
+        s = order_ref[k] if order_ref is not None else k
         word = mask_ref[0, 0, s]
         pred = word != 0
         if done_fn is not None:
@@ -790,10 +802,12 @@ def _make_streaming_chp_kernel(block_f: int, sup_f: int, n_super: int):
 
 
 def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int):
-    """Shadow any-hit with per-ray origins, HBM-streamed faces."""
+    """Shadow any-hit with per-ray origins, HBM-streamed faces, visited
+    near-to-far along the light (order_ref) for fast early exit."""
 
-    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
-               act_ref, pack_hbm, occ_ref, buf, sem):
+    def kernel(mask_ref, order_ref, dx_ref, dy_ref, dz_ref,
+               ox_ref, oy_ref, oz_ref, act_ref, pack_hbm, occ_ref,
+               buf, sem):
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
         dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
@@ -812,9 +826,36 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int):
 
         _stream_word_loop(mask_ref, n_super, sup_f, block_f,
                           pack_hbm, buf, sem, visit_bit,
-                          done_fn=all_occluded)
+                          done_fn=all_occluded, order_ref=order_ref)
 
     return kernel
+
+
+def _shadow_visit_order(scene: SceneData, sdx, sdy, sdz, active,
+                        nwords: int, block_f: int, f: int):
+    """(nwords,) i32 word-visit permutation: ascending projection of
+    each word's cluster AABBs onto the MEAN active shadow direction.
+    Occluders nearest the shading points are tested first, so the
+    any-hit early exit usually fires after a handful of superblocks
+    instead of a full Morton-order sweep (any permutation is correct —
+    occlusion is an OR). Falls back to identity when the kernel block
+    size is not the cull-cluster size."""
+    if block_f != CULL_BLOCK:
+        return jnp.arange(nwords, dtype=jnp.int32)
+    a = active.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(a), 1.0)
+    mdx = jnp.sum(sdx * a) / n
+    mdy = jnp.sum(sdy * a) / n
+    mdz = jnp.sum(sdz * a) / n
+    c = (scene.blk_lo + scene.blk_hi) * 0.5  # (B,3) cluster centers
+    proj = c[:, 0] * mdx + c[:, 1] * mdy + c[:, 2] * mdz
+    proj = jnp.where(jnp.isfinite(proj), proj, F32_INF)  # padding last
+    nb = f // block_f
+    pad = nwords * 32 - nb
+    if pad:
+        proj = jnp.concatenate([proj, jnp.full((pad,), F32_INF)])
+    key = jnp.min(proj.reshape(nwords, 32), axis=1)
+    return jnp.argsort(key).astype(jnp.int32)
 
 
 def _should_stream(f: int, block_f: int) -> bool:
@@ -1060,9 +1101,11 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
     dxp, dyp, dzp, oxp, oyp, ozp = args
     mask, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
                                dxp, dyp, dzp, tile_r, block_f, f)
+    order = _shadow_visit_order(scene, dxp, dyp, dzp, act, nwords,
+                                block_f, f)
 
     grid = (r // tile_r,)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, m, o: (i,),
                             memory_space=pltpu.VMEM)
     if stream:
         n_super = f // SUPER_F
@@ -1070,29 +1113,31 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
         spack = pack_stream_columns(scene)
         mask_spec, ray_spec_s, mask2d = _stream_mask_spec(mask, grid[0],
                                                           nwords, tile_r)
+        order_spec = pl.BlockSpec((n_super,), lambda i: (0,),
+                                  memory_space=pltpu.SMEM)
         occ = pl.pallas_call(
             _make_streaming_anyhit_kernel(block_f, SUPER_F, n_super),
             grid=grid,
-            in_specs=[mask_spec] + [ray_spec_s] * 7 + [
+            in_specs=[mask_spec, order_spec] + [ray_spec_s] * 7 + [
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=ray_spec_s,
             out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
             scratch_shapes=_stream_scratch(),
             interpret=interpret,
-        )(mask2d, *args, act, spack)
+        )(mask2d, order, *args, act, spack)
     else:
         fpack = pack_face_columns(scene)
         dc = jnp.concatenate(
             [scene.tri_d[:, None], scene.tri_c,
              jnp.zeros((f, 4), jnp.float32)], axis=1)  # (F, 8)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,  # packed mask + word visit order
             grid=grid,
             in_specs=[ray_spec] * 7 + [
-                pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
+                pl.BlockSpec((f, FPACK_COLS), lambda i, m, o: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f, 8), lambda i, m: (0, 0),
+                pl.BlockSpec((f, 8), lambda i, m, o: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=ray_spec,
@@ -1102,9 +1147,58 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
             interpret=interpret,
-        )(mask, *args, act, fpack, dc)
+        )(mask, order, *args, act, fpack, dc)
 
     return occ[:nrays] > 0.0
+
+
+def _expand_bits_jnp(v):
+    """Spread the low 10 bits to every third bit (Morton, jnp)."""
+    v = v.astype(jnp.uint32)
+    v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+    v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+    v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+    v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+    return v
+
+
+def anyhit_reordered_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
+                            active, *, interpret: bool = False,
+                            accel: str = "cull"):
+    """Shadow any-hit with ORIGIN-MORTON ray reordering for big scenes.
+
+    Shadow rays are grouped by the SCREEN tile of the pixel that spawned
+    them, but their ORIGINS live on the hit surface — at grazing views a
+    32x32-pixel tile spans half the scene in depth, its origin interval
+    balloons, and the conservative cull admits thousands of clusters per
+    tile (measured on the 522k-face terrain: 5,223 mean active clusters
+    per tile, 1.08 s for the any-hit sweep). Sorting the shadow
+    wavefront by the Morton code of its ORIGINS re-tiles it into
+    world-space-compact groups whose interval boxes are thin slabs.
+    The whole permutation machinery (argsort + one packed gather + one
+    scatter back to pixel order) costs ~10 ms at 2M rays — callers gate
+    on scene size. Results are exactly the per-ray results of
+    anyhit_pallas (a permutation is semantics-free)."""
+    finite = jnp.isfinite(scene.blk_lo) & jnp.isfinite(scene.blk_hi)
+    lo = jnp.min(jnp.where(finite, scene.blk_lo, F32_INF), axis=0)
+    hi = jnp.max(jnp.where(finite, scene.blk_hi, -F32_INF), axis=0)
+    ext = jnp.maximum(hi - lo, 1e-12)
+
+    def q(p, a):
+        return jnp.clip((p - lo[a]) / ext[a] * 1023.0,
+                        0.0, 1023.0).astype(jnp.uint32)
+
+    keys = ((_expand_bits_jnp(q(ox, 0)) << 2)
+            | (_expand_bits_jnp(q(oy, 1)) << 1)
+            | _expand_bits_jnp(q(oz, 2)))
+    # parked rays (origin 1e9) clip to the max cell and group together
+    perm = jnp.argsort(keys)
+    packed = jnp.stack([ox, oy, oz, dx, dy, dz,
+                        active.astype(jnp.float32)])
+    pv = jnp.take(packed, perm, axis=1)  # ONE gather for all planes
+    occ = anyhit_pallas(scene, pv[0], pv[1], pv[2], pv[3], pv[4], pv[5],
+                        pv[6] > 0.0, interpret=interpret, accel=accel)
+    return jnp.zeros_like(active).at[perm].set(occ)
 
 
 # ---------------------------------------------------------------------------
@@ -1615,8 +1709,13 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         pz = jnp.where(covered, origin[2] + dz * ts + w_nz * 1e-3, far)
         occ = jnp.zeros((r,), bool)
         if has_mesh:
-            occ = anyhit_pallas(scene, px, py, pz, sdx, sdy, sdz, covered,
-                                interpret=interpret, accel=accel)
+            # big scenes: re-tile the shadow wavefront by origin
+            # locality (see anyhit_reordered_pallas)
+            ah = (anyhit_reordered_pallas
+                  if _should_stream(scene.padded_faces, BLOCK_F)
+                  else anyhit_pallas)
+            occ = ah(scene, px, py, pz, sdx, sdy, sdz, covered,
+                     interpret=interpret, accel=accel)
         occ = occ | _spheres_occlude_planar(scene, px, py, pz, sdx, sdy, sdz)
         shadowed = covered & occ
         cr = jnp.where(shadowed, w_ar, cr)

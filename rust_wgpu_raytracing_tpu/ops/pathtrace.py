@@ -39,9 +39,10 @@ import jax.numpy as jnp
 from ..core.camera import CameraUniforms
 from ..core.scene import SceneData
 from .intersect import HI
-from .megakernel import (anyhit_pallas, extend_shadow_pallas,
-                         gbuffer_pallas, _mat_const,
-                         _spheres_occlude_planar,
+from .megakernel import (anyhit_pallas, anyhit_reordered_pallas,
+                         extend_shadow_pallas, gbuffer_pallas,
+                         _mat_const, _should_stream,
+                         _spheres_occlude_planar, BLOCK_F,
                          sample_packed_texture, sample_packed_texture_nearest,
                          sphere_pass_planar, tiled_to_image)
 from .raygen import ndc_grid
@@ -267,8 +268,11 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
                     scene, nox, noy, noz, ndx, ndy, ndz,
                     px, py, pz, sdx, sdy, sdz, hit, interpret=interpret)
             elif has_mesh:
-                occ = anyhit_pallas(scene, px, py, pz, sdx, sdy, sdz, hit,
-                                    interpret=interpret)
+                ah = (anyhit_reordered_pallas
+                      if _should_stream(scene.padded_faces, BLOCK_F)
+                      else anyhit_pallas)
+                occ = ah(scene, px, py, pz, sdx, sdy, sdz, hit,
+                         interpret=interpret)
             occ = occ | _spheres_occlude_planar(scene, px, py, pz,
                                                 sdx, sdy, sdz)
             lam = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)

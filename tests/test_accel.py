@@ -191,6 +191,31 @@ class TestStreaming:
         assert np.asarray(ov).any()  # something occludes
         np.testing.assert_array_equal(np.asarray(ov), np.asarray(os_))
 
+    def test_reordered_anyhit_matches_plain(self):
+        """Origin-Morton shadow reordering is a pure permutation: per-ray
+        occlusion must equal the unsorted kernel exactly."""
+        from rust_wgpu_raytracing_tpu.ops.megakernel import (
+            anyhit_reordered_pallas)
+
+        cfg, s = terrain_scene(23)
+        uni = CameraUniforms.unflat(uni_for(cfg, 128, 128))
+        dx, dy, dz = raygen_planar(128, 128, uni)
+        r = dx.shape[0]
+        # shadow-like rays: origins spread on the terrain, one direction
+        ox = jnp.where(dz < 0, uni.origin[0] + dx * 2.0, 1e9)
+        oy = jnp.where(dz < 0, uni.origin[1] + dy * 2.0, 1e9)
+        oz = jnp.where(dz < 0, uni.origin[2] + dz * 2.0, 1e9)
+        sdx = jnp.full((r,), 0.19)
+        sdy = jnp.full((r,), -0.19)
+        sdz = jnp.full((r,), -0.96)
+        act = dz < 0
+        a = anyhit_pallas(s.data, ox, oy, oz, sdx, sdy, sdz, act,
+                          interpret=True)
+        b = anyhit_reordered_pallas(s.data, ox, oy, oz, sdx, sdy, sdz,
+                                    act, interpret=True)
+        assert np.asarray(a).any()
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_auto_stream_threshold(self):
         assert not _should_stream(1024, 32)
         assert _should_stream(20480, 32)
