@@ -42,8 +42,8 @@ from ..core.scene import CULL_BLOCK, STREAM_FACES, SUPER_F, SceneData
 from .composite import to_nonlinear_depth
 from .intersect import HI, K_EPSILON, TriHit
 from .raygen import ndc_grid
-from .traverse import (bvh_walk_mask_words, slab_interval_ok,
-                       tile_ray_bounds)
+from .traverse import slab_interval_ok, tile_ray_bounds
+from .traverse_pallas import hier_cull_fits, hier_cull_words
 
 INT_MISS = 2**31 - 1  # python scalars only: traced constants cannot be
 F32_INF = float("inf")  # captured inside a pallas kernel body
@@ -546,9 +546,11 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
     (dxp, dyp, dzp, oxp, oyp, ozp,
      sdxp, sdyp, sdzp, soxp, soyp, sozp) = planes
     words_a, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
-                                  dxp, dyp, dzp, tile_r, block_f, f)
+                                  dxp, dyp, dzp, tile_r, block_f, f,
+                                  interpret)
     words_b, _ = _mask_words(scene, accel, soxp, soyp, sozp,
-                             sdxp, sdyp, sdzp, tile_r, block_f, f)
+                             sdxp, sdyp, sdzp, tile_r, block_f, f,
+                             interpret)
     mask = words_a | words_b  # union of the two wavefronts' masks
 
     grid = (r // tile_r,)
@@ -890,26 +892,30 @@ def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
 
 
 def _mask_words(scene: SceneData, accel: str, ox, oy, oz, dx, dy, dz,
-                tile_r: int, block_f: int, f: int):
+                tile_r: int, block_f: int, f: int,
+                interpret: bool = False):
     """Packed per-(tile, cluster) activity words for the kernels.
 
     accel: "brute" = all bits set (reference-parity brute force);
-    "cull" = flat interval scan; "bvh" = stackless LBVH walk
-    (ops/traverse.py). All three are conservative supersets of the true
-    hit set and kernels visit clusters in ascending order, so the frame
-    is bit-identical across strategies. Falls back from "bvh" to "cull"
-    when the scene carries no (valid) tree — e.g. per-frame instanced
-    scenes, whose device-side refit invalidates the host-built tree.
+    "cull" = flat interval scan; "bvh" = in-kernel hierarchical LBVH-cut
+    traversal (ops/traverse_pallas.py — the TPU-shaped walk; the deep
+    skip-pointer walk lives in ops/traverse.py). All three are
+    conservative supersets of the true hit set and kernels visit
+    clusters in ascending order, so the frame is bit-identical across
+    strategies. "bvh" degrades gracefully: scenes whose AABB tables
+    exceed the traversal kernel's SMEM budget fall back to the flat
+    scan (still correct, O(T*B)).
     """
     n_tiles = dx.shape[0] // tile_r
     nb = f // block_f
     nwords = -(-nb // 32)
     if accel == "brute":
         return jnp.full((n_tiles * nwords,), -1, jnp.int32), nwords
-    if accel == "bvh" and scene.bvh_nodes > 0 and block_f == CULL_BLOCK:
+    if accel == "bvh" and block_f == CULL_BLOCK and \
+            scene.blk_lo.shape[0] == nb and hier_cull_fits(nb):
         bounds = tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r)
-        words = bvh_walk_mask_words(scene.bvh_pack, scene.bvh_nodes,
-                                    *bounds, nwords)
+        words = hier_cull_words(scene.blk_lo, scene.blk_hi, *bounds,
+                                nwords=nwords, interpret=interpret)
         return words.reshape(-1), nwords
     mask = tile_cull_mask(scene, ox, oy, oz, dx, dy, dz, tile_r)
     return _pack_mask_bits(_regroup_mask(mask, f, block_f))
@@ -947,7 +953,7 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
         oterm = pack_origin_cols(scene, origin)
 
     mask, nwords = _mask_words(scene, accel, origin[0], origin[1], origin[2],
-                               dx, dy, dz, tile_r, block_f, f)
+                               dx, dy, dz, tile_r, block_f, f, interpret)
 
     n_out = 20 if with_nm else 11
     grid = (r // tile_r,)  # face-cluster loop runs inside the kernel
@@ -1026,7 +1032,8 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
 
     dxp, dyp, dzp, oxp, oyp, ozp = planes
     mask, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
-                               dxp, dyp, dzp, tile_r, block_f, f)
+                               dxp, dyp, dzp, tile_r, block_f, f,
+                               interpret)
 
     grid = (r // tile_r,)
     ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
@@ -1100,7 +1107,8 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
 
     dxp, dyp, dzp, oxp, oyp, ozp = args
     mask, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
-                               dxp, dyp, dzp, tile_r, block_f, f)
+                               dxp, dyp, dzp, tile_r, block_f, f,
+                               interpret)
     order = _shadow_visit_order(scene, dxp, dyp, dzp, act, nwords,
                                 block_f, f)
 

@@ -120,6 +120,37 @@ class TestWalkMask:
         assert np.all(np.asarray(words) == -1)
 
 
+class TestHierCull:
+    def test_superset_of_flat_mask_with_padding_clusters(self):
+        """The Pallas 2-level traversal must be a superset of the flat
+        scan. terrain:23 pads to 1024 faces, so the last clusters are
+        empty (+inf, -inf) boxes — regression: widening those produced
+        inf - inf = NaN which poisoned the superblock union into
+        never-hit (mask all zero)."""
+        from rust_wgpu_raytracing_tpu.ops.traverse_pallas import (
+            hier_cull_words)
+
+        cfg, s = terrain_scene(23)
+        uni = CameraUniforms.unflat(uni_for(cfg, 128, 128))
+        dx, dy, dz = raygen_planar(128, 128, uni)
+        o = uni.origin
+        f = s.data.padded_faces
+        flat = tile_cull_mask(s.data, o[0], o[1], o[2], dx, dy, dz, 1024)
+        flat_words, nwords = _pack_mask_bits(flat)
+        bounds = tile_ray_bounds(o[0], o[1], o[2], dx, dy, dz, 1024)
+        hier = hier_cull_words(s.data.blk_lo, s.data.blk_hi, *bounds,
+                               nwords=nwords, interpret=True)
+        fw = np.asarray(flat_words).view(np.uint32)
+        hw = np.asarray(hier).reshape(-1).view(np.uint32)
+        assert np.unpackbits(fw.view(np.uint8)).sum() > 0
+        # every flat bit present; no bit set for the all-padding cluster
+        np.testing.assert_array_equal(fw & ~hw, np.zeros_like(fw))
+        n_real = s.data.num_faces  # 968: cluster 31 is pure padding
+        first_pad_cluster = -(-n_real // CULL_BLOCK)
+        for c in range(first_pad_cluster, f // CULL_BLOCK):
+            assert not np.any(hw & (np.uint32(1) << np.uint32(c % 32)))
+
+
 class TestAccelParity:
     @pytest.mark.parametrize("accel", ["brute", "bvh"])
     def test_reference_scene_matches_cull(self, accel):
