@@ -158,6 +158,24 @@ def main():
                                         shadows=True, interpret=interp),
               w, h, n=3, rays_factor=2.0)
 
+    # 7. 2M-face terrain (round 2): only renderable since the streaming
+    # record moved to a host-side precompute — assembling the 128-col
+    # pack in-jit OOMed HBM with ~18 one-GB layout-padded temps.
+    cfg7 = SceneConfig(
+        meshes=(MeshConfig(obj_path="builtin:terrain:1024",
+                           translation=(0.0, 0.0, -3.0)),),
+        camera=CameraConfig(eye=(0.0, -0.4, -1.2), target=(0.0, 0.0, -3.0)),
+        render=RenderConfig(width=w, height=h))
+    sd7 = Scene.build(cfg7).data
+    uni7 = uni_for(cfg7, w, h)
+    bench_one("7_terrain2M_1080p_cull",
+              lambda: render_megakernel(sd7, uni7, width=w, height=h,
+                                        interpret=interp), w, h, n=5)
+    bench_one("7_terrain2M_1080p_shadows",
+              lambda: render_megakernel(sd7, uni7, width=w, height=h,
+                                        shadows=True, interpret=interp),
+              w, h, n=3, rays_factor=2.0)
+
 
 if __name__ == "__main__":
     main()

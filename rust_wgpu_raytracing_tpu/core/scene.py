@@ -46,12 +46,51 @@ CULL_BLOCK = 32
 SUPER_F = 32 * CULL_BLOCK
 STREAM_FACES = 16384
 
+# Streaming pack layout: Mosaic requires DMA slice minor dims aligned to
+# the 128-lane tiling, so the HBM-streamed face record is one 128-col f32
+# row per face (the VMEM scratch is lane-padded to 128 either way):
+#   0-39   fpack (the static per-face columns, ops/megakernel.py)
+#   40-43  [d, c0, c1, c2] plane constants (per-ray-origin kernels)
+#   48-55  shared-origin terms — zero in the precomputed record, spliced
+#          in per frame by ONE dynamic_update_slice (ops/megakernel.py
+#          gbuffer_pallas; DMA minor dims must be 128-aligned, so they
+#          cannot stream as their own (F, 8) array)
+STREAM_COLS = 128
+SC_DC = 40
+SC_OT = 48
+
 
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     if a.shape[0] == n:
         return a
     pad = np.full((n - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
     return np.concatenate([a, pad], axis=0)
+
+
+def _stream_pack_np(padded: int, n, d, g, c, inv_denom, uv3, vn3,
+                    face_mat, orig_ids, tangent, bitangent) -> np.ndarray:
+    """Host (numpy) build of the (padded, STREAM_COLS) streaming face
+    record — same column layout as ops/megakernel.py pack_face_columns
+    (cols 0-39) plus the [d, c] plane constants at SC_DC. Padding faces
+    are all-zero rows, matching _pad_rows semantics. See SceneData.spack
+    for why this must not be built inside XLA."""
+    f = n.shape[0]
+    pack = np.zeros((padded, STREAM_COLS), np.float32)
+    nlen = np.linalg.norm(n, axis=1, keepdims=True)
+    un = np.where(nlen > 0, n / np.maximum(nlen, 1e-30), 0.0)
+    pack[:f, 0:3] = n
+    pack[:f, 3:12] = g.reshape(f, 9)
+    pack[:f, 12] = inv_denom
+    pack[:f, 13:16] = un
+    pack[:f, 16:22] = uv3.reshape(f, 6)
+    pack[:f, 22] = face_mat.astype(np.float32)
+    pack[:f, 23] = orig_ids.astype(np.float32)
+    pack[:f, 24:27] = tangent
+    pack[:f, 27:30] = bitangent
+    pack[:f, 30:39] = vn3.reshape(f, 9)
+    pack[:f, SC_DC] = d
+    pack[:f, SC_DC + 1:SC_DC + 4] = c
+    return pack
 
 
 @dataclass
@@ -140,6 +179,14 @@ class SceneData:
     tri_tangent: jax.Array  # (F,3) f32 per-face tangent (uv-aligned)
     tri_bitangent: jax.Array  # (F,3) f32
     mat_bump: jax.Array  # (M,) i32 bump texture index, -1 = none
+
+    # (F, STREAM_COLS) f32 HOST-precomputed streaming face record for
+    # scenes past STREAM_FACES; (0, STREAM_COLS) otherwise (the kernels
+    # fall back to building it in-jit). Precomputing in numpy matters:
+    # assembling the 128-col record inside XLA forces every narrow
+    # (F, k) operand into the result's (8,128)-tiled layout — ~18 one-GB
+    # copies at 2M faces, an HBM OOM the host build avoids entirely.
+    spack: jax.Array = None
 
     # static metadata (not traced)
     num_faces: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -339,6 +386,13 @@ class Scene:
                              blk_hi[:n_real_clusters].copy())
             bvh_pack = linearize_bvh(bvh)
             bvh_nodes = 2 * n_real_clusters - 1
+
+            if num_faces > STREAM_FACES:
+                spack_np = _stream_pack_np(padded, n, d, g, c, inv_denom,
+                                           uv3, vn3, face_mat, orig_ids,
+                                           tangent, bitangent)
+            else:
+                spack_np = np.zeros((0, STREAM_COLS), np.float32)
         else:
             p0 = np.zeros((0, 3), np.float32)
             n = np.zeros((0, 3), np.float32)
@@ -356,6 +410,7 @@ class Scene:
             blk_hi = np.full((nb, 3), -np.inf, np.float32)
             bvh_pack = np.zeros((9, 1), np.float32)
             bvh_nodes = 0
+            spack_np = np.zeros((0, STREAM_COLS), np.float32)
 
         # ---- textures (diffuse sRGB-decoded; bump maps raw) ----
         textures: List[TextureData] = []
@@ -472,6 +527,7 @@ class Scene:
             tri_tangent=jnp.asarray(_pad_rows(tangent, padded)),
             tri_bitangent=jnp.asarray(_pad_rows(bitangent, padded)),
             mat_bump=jnp.asarray(np.array(mat_bump, np.int32)),
+            spack=jnp.asarray(spack_np),
             num_faces=num_faces,
             num_spheres=len(spheres),
             bvh_nodes=bvh_nodes,

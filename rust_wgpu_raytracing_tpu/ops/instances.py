@@ -182,8 +182,14 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             tri_orig=orig,
             blk_lo=blk_lo,
             blk_hi=blk_hi,
-            # the host-built tree's AABBs are stale once instances move;
-            # bvh_nodes=0 makes accel="bvh" fall back to the flat cull
+            # the template's host-precomputed streaming record describes
+            # the untransformed mesh — invalidate so the kernels rebuild
+            # it in-jit from the refit geometry (ops/megakernel.py
+            # _stream_pack)
+            spack=jnp.zeros((0, 128), jnp.float32),
+            # the host-built radix tree is stale once instances move
+            # (accel="bvh" only needs the refit blk_lo/hi, so the
+            # hierarchical cull still applies)
             bvh_nodes=0,
             num_faces=int(nf),
         )

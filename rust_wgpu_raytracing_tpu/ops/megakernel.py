@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import CameraUniforms
-from ..core.scene import CULL_BLOCK, STREAM_FACES, SUPER_F, SceneData
+from ..core.scene import (CULL_BLOCK, SC_DC, SC_OT, STREAM_COLS,
+                          STREAM_FACES, SUPER_F, SceneData)
 from .composite import to_nonlinear_depth
 from .intersect import HI, K_EPSILON, TriHit
 from .raygen import ndc_grid
@@ -129,33 +130,39 @@ def pack_origin_cols(scene: SceneData, origin) -> jnp.ndarray:
         [t_num[:, None], hc, jnp.zeros((f, 4), jnp.float32)], axis=1)
 
 
-# Streaming pack layout: Mosaic requires DMA slice minor dims aligned to
-# the 128-lane tiling, so the HBM-streamed face record is one 128-col f32
-# row per face (the VMEM scratch is lane-padded to 128 either way):
-#   0-39   fpack (the static per-face columns above)
-#   40-43  [d, c0, c1, c2] plane constants (per-ray-origin kernels)
-#   48-55  per-frame shared-origin terms [t_num, hc0, hc1, hc2, 0...]
-STREAM_COLS = 128
-_SC_DC = 40
-_SC_OT = 48
+# Streaming pack layout: see core/scene.py (STREAM_COLS, SC_DC, SC_OT).
+# The per-frame shared-origin terms land in the record's SC_OT slot via
+# ONE dynamic_update_slice into the host-precomputed pack per frame
+# (gbuffer_pallas): assembling the whole 128-col record in-jit forced
+# every narrow operand into the result's (8,128)-tiled layout (~18
+# one-GB temp copies at 2M faces — an HBM OOM). Mosaic DMA slices need
+# 128-aligned minor dims, so a separate (F, 8) ride-along cannot
+# stream on its own.
+_SC_DC = SC_DC
+_SC_OT = SC_OT
 
 
-def pack_stream_columns(scene: SceneData, origin=None) -> jnp.ndarray:
-    """(F, STREAM_COLS) f32 combined record for the HBM-streaming
-    kernels: one aligned DMA per superblock fetches everything a face
-    block needs. origin=None leaves the shared-origin term slot zeroed
-    (per-ray-origin kernels ignore it)."""
+def _stream_pack(scene: SceneData) -> jnp.ndarray:
+    """The (F, STREAM_COLS) streaming face record: the host-precomputed
+    SceneData.spack when present (Scene.build, big scenes), else built
+    in-jit (device-refit instanced scenes, forced-stream tests)."""
+    if scene.spack is not None and \
+            scene.spack.shape[0] == scene.tri_p0.shape[0]:
+        return scene.spack
+    return pack_stream_columns(scene)
+
+
+def pack_stream_columns(scene: SceneData) -> jnp.ndarray:
+    """In-jit fallback build of the streaming record (static columns
+    only — origin terms ride separately). Fine for small/instanced
+    scenes; large static scenes use the host-built SceneData.spack."""
     f = scene.tri_p0.shape[0]
     fpack = pack_face_columns(scene)
     dc = jnp.concatenate([scene.tri_d[:, None], scene.tri_c], axis=1)
-    oterm = (pack_origin_cols(scene, origin) if origin is not None
-             else jnp.zeros((f, 8), jnp.float32))
     return jnp.concatenate([
         fpack,
         dc,
-        jnp.zeros((f, _SC_OT - _SC_DC - 4), jnp.float32),
-        oterm,
-        jnp.zeros((f, STREAM_COLS - _SC_OT - 8), jnp.float32),
+        jnp.zeros((f, STREAM_COLS - _SC_DC - 4), jnp.float32),
     ], axis=1)
 
 
@@ -946,11 +953,15 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     if stream is None:
         stream = _should_stream(f, block_f)
 
+    oterm = pack_origin_cols(scene, origin)
     if stream:
-        spack = pack_stream_columns(scene, origin)
+        # splice the per-frame origin terms into the static record's
+        # reserved columns: one aligned (F, 128) materialization instead
+        # of rebuilding the whole pack from narrow operands
+        spack = jax.lax.dynamic_update_slice(
+            _stream_pack(scene), oterm, (0, _SC_OT))
     else:
         fpack = pack_face_columns(scene)
-        oterm = pack_origin_cols(scene, origin)
 
     mask, nwords = _mask_words(scene, accel, origin[0], origin[1], origin[2],
                                dx, dy, dz, tile_r, block_f, f, interpret)
@@ -1045,7 +1056,7 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
     if stream:
         n_super = f // SUPER_F
         assert nwords == n_super, (nwords, n_super)
-        spack = pack_stream_columns(scene)
+        spack = _stream_pack(scene)
         mask_spec, ray_spec_s, mask2d = _stream_mask_spec(mask, grid[0],
                                                           nwords, tile_r)
         outs = pl.pallas_call(
@@ -1118,7 +1129,7 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
     if stream:
         n_super = f // SUPER_F
         assert nwords == n_super, (nwords, n_super)
-        spack = pack_stream_columns(scene)
+        spack = _stream_pack(scene)
         mask_spec, ray_spec_s, mask2d = _stream_mask_spec(mask, grid[0],
                                                           nwords, tile_r)
         order_spec = pl.BlockSpec((n_super,), lambda i: (0,),

@@ -13,21 +13,27 @@ of the tree — 32-face clusters grouped 32-per-superblock, exactly the
 packed-mask granularity the render kernels already consume — forms a
 2-level, 32-wide bounding volume hierarchy. That wide-and-shallow tree
 is what GPUs reach for too (8-wide CWBVH); on the VPU it traverses as
-dense (8, 128) lane ops with zero gathers:
+dense vector ops with zero gathers.
 
-  for each superblock:            # fori_loop, AABB scalars from SMEM
-      hit = slab(super AABB)      # one (8,128) vector test, all tiles
-      if any lane hit:            # pl.when on a scalar reduction
-          for 32 member clusters: # unrolled; skipped ENTIRELY when the
-              word |= slab(...)   # super cone-test misses — this is the
-                                  # lane-masked tree descent
+Kernel shape (measured on a v5e at 1080p / 522k faces, where the flat
+XLA scan costs 8-9 ms): 1024 tiles on (8, 128) lanes per program, AABB
+tables as SMEM scalars, superblock cone test then lane-masked
+32-cluster descent under pl.when — 6.3 ms. The 1 MB SMEM bounds the
+tables to ~800k faces; past that _mask_words falls back to the flat
+scan, which measurement (not ideology) says is the right tool there: a
+tiles-on-sublanes VMEM-table variant (phase-1 superblock sweep into a
+scratch + predicated per-128-cluster-chunk descent, word packing via
+two HIGHEST-precision (8,128)@(128,4) matmuls) was built and
+benchmarked at 11.3 ms (522k) / 27.6 ms (2M) against the flat scan's
+9 / 13.5 ms — per-chunk control overhead on the VPU outweighs the
+skipped slab tests at these occupancies (git history has the kernel).
 
 Replaces the per-pixel brute-force loop of the reference
 (/root/reference/src/models/triangle_list/compute.wgsl:186-202) at the
 tile-cone level; the surviving clusters feed the same packed SMEM masks
 as accel="cull"/"brute" (ops/megakernel.py:_mask_word_loop).
 
-Conservativeness: the kernel multiplies by precomputed reciprocals where
+Conservativeness: the kernels multiply by precomputed reciprocals where
 the XLA flat scan divides, so borderline boxes could round differently.
 AABBs are therefore widened by a relative epsilon before entering the
 kernel — the mask is a strict SUPERSET of the flat-scan mask, and the
@@ -46,12 +52,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32_INF = float("inf")
 
-# tiles per Pallas program: one (8, 128) vector register of lanes
-TILES_PER_PROG = 1024
-_TB_S, _TB_L = 8, 128
-
-# SMEM budget for the AABB tables (supers + clusters, 6 f32 each).
-# Mosaic SMEM is ~1 MB; leave headroom for the grid machinery.
+# SMEM kernel: tiles per Pallas program, one (8, 128) vector of lanes
+SMEM_TILES_PER_PROG = 1024
+# SMEM budget for its AABB tables (supers + clusters, 6 f32 each):
+# ~25k clusters = ~800k faces
 SMEM_AABB_BUDGET = 600_000
 
 # relative/absolute AABB widening that guarantees superset-of-flat-scan
@@ -60,12 +64,20 @@ _EPS_REL = 1e-5
 _EPS_ABS = 1e-6
 
 
-def hier_cull_fits(n_clusters: int) -> bool:
-    """True when the cluster + superblock AABB tables fit the SMEM
-    budget (~25k clusters = ~800k faces at 32-face clusters)."""
+def _smem_fits(n_clusters: int) -> bool:
     b32 = -(-n_clusters // 32) * 32
-    ns = b32 // 32
-    return (b32 + ns) * 24 <= SMEM_AABB_BUDGET
+    return (b32 + b32 // 32) * 24 <= SMEM_AABB_BUDGET
+
+
+def hier_cull_fits(n_clusters: int) -> bool:
+    """True when the traversal kernel can hold the AABB tables in SMEM
+    (~800k faces at 32-face clusters). Beyond that the flat XLA scan is
+    the right tool: measured at 2M faces / 1080p on a v5e, the fused
+    flat sweep costs 13.5 ms while every in-kernel descent variant we
+    tried paid more in per-chunk control overhead than the skipped slab
+    tests were worth (occupancy is ~0.2-0.5%% but per-(tile,chunk)
+    bookkeeping is not free on the VPU)."""
+    return _smem_fits(n_clusters)
 
 
 def _widen(lo, hi):
@@ -79,61 +91,71 @@ def _widen(lo, hi):
     return wlo, whi
 
 
-def _axis_interval(A, B, pre, k):
-    """One slab axis: entry/exit t-interval of box gap [A, B] against
-    the tile's direction bounds. Same math as traverse.slab_interval_ok
-    with divisions replaced by precomputed reciprocal multiplies."""
-    mixed, zero, pos, inv_dp, inv_dn = (pre["mixed"][k], pre["zero"][k],
-                                        pre["pos"][k], pre["inv_dp"][k],
-                                        pre["inv_dn"][k])
-    lo_pos = jnp.where(A > 0.0, A * inv_dp, 0.0)
-    hi_pos = jnp.where(B >= 0.0, B * inv_dn, -1.0)
-    lo_neg = jnp.where(B < 0.0, B * inv_dn, 0.0)
-    hi_neg = jnp.where(A <= 0.0, A * inv_dp, -1.0)
-    lo_t = jnp.where(mixed, 0.0, jnp.where(pos, lo_pos, lo_neg))
-    hi_t = jnp.where(mixed, F32_INF, jnp.where(pos, hi_pos, hi_neg))
-    hi_t = jnp.where(zero & ~((A <= 0.0) & (B >= 0.0)), -1.0, hi_t)
-    return lo_t, hi_t
-
-
-def _box_test(box6, pre):
-    """Slab test of one scalar AABB against all (8,128) tile cones.
-    box6 = (lox, loy, loz, hix, hiy, hiz) scalars."""
-    ok = None
-    lo_t = jnp.zeros((_TB_S, _TB_L), jnp.float32)
-    hi_t = jnp.full((_TB_S, _TB_L), F32_INF, jnp.float32)
+def _dir_pre(pre, dmin_cols, dmax_cols):
+    """Append the slab test's direction-dependent loop invariants
+    (branch predicates + reciprocals) to a pre dict holding origin
+    bounds. Columns are per-axis arrays of any broadcast-compatible
+    shape ((8,128) planes for the SMEM kernel, (8,1) for VMEM)."""
+    pre.update({"mixed": [], "zero": [], "pos": [],
+                "inv_dp": [], "inv_dn": []})
     for k in range(3):
-        A = box6[k] - pre["omax"][k]
-        B = box6[3 + k] - pre["omin"][k]
+        dn, dp = dmin_cols[k], dmax_cols[k]
+        pre["mixed"].append((dn <= 0.0) & (dp >= 0.0))
+        pre["zero"].append((dn == 0.0) & (dp == 0.0))
+        pre["pos"].append(dn > 0.0)
+        dp_s = jnp.where(jnp.abs(dp) > 1e-30, dp, 1e-30)
+        dn_s = jnp.where(jnp.abs(dn) > 1e-30, dn, 1e-30)
+        pre["inv_dp"].append(1.0 / dp_s)
+        pre["inv_dn"].append(1.0 / dn_s)
+    return pre
+
+
+def _box_test(box, pre):
+    """Slab-test AABBs against tile cones; broadcasting carries the
+    layout. box = 6 per-axis SMEM scalar entries (lox loy loz hix hiy
+    hiz); pre entries are (8, 128) tile planes. Same math as
+    traverse.slab_interval_ok with divisions replaced by the
+    precomputed reciprocals."""
+    ok = None
+    lo_t, hi_t = 0.0, F32_INF
+    for k in range(3):
+        A = box[k] - pre["omax"][k]
+        B = box[3 + k] - pre["omin"][k]
         axis_ok = B >= A
         ok = axis_ok if ok is None else (ok & axis_ok)
-        l, h = _axis_interval(A, B, pre, k)
+        mixed, zero, pos = pre["mixed"][k], pre["zero"][k], pre["pos"][k]
+        inv_dp, inv_dn = pre["inv_dp"][k], pre["inv_dn"][k]
+        lo_pos = jnp.where(A > 0.0, A * inv_dp, 0.0)
+        hi_pos = jnp.where(B >= 0.0, B * inv_dn, -1.0)
+        lo_neg = jnp.where(B < 0.0, B * inv_dn, 0.0)
+        hi_neg = jnp.where(A <= 0.0, A * inv_dp, -1.0)
+        l = jnp.where(mixed, 0.0, jnp.where(pos, lo_pos, lo_neg))
+        h = jnp.where(mixed, F32_INF, jnp.where(pos, hi_pos, hi_neg))
+        h = jnp.where(zero & ~((A <= 0.0) & (B >= 0.0)), -1.0, h)
         lo_t = jnp.maximum(lo_t, l)
         hi_t = jnp.minimum(hi_t, h)
     return ok & (hi_t >= 0.0) & (hi_t >= lo_t)
 
 
-def _make_hier_kernel(n_super: int, nwords: int):
+def _pad_boxes(lo, hi, n_pad):
+    """Append never-hit empty boxes."""
+    return (jnp.concatenate([lo, jnp.full((n_pad, 3), F32_INF,
+                                          jnp.float32)]),
+            jnp.concatenate([hi, jnp.full((n_pad, 3), -F32_INF,
+                                          jnp.float32)]))
+
+
+# --------------------------------------------------------------------
+# SMEM kernel: 1024 tiles on lanes, AABB tables as SMEM scalars
+# --------------------------------------------------------------------
+
+def _make_smem_kernel(n_super: int, nwords: int):
     def kernel(sup_ref, clus_ref, bounds_ref, out_ref):
-        # per-tile loop invariants: bounds rows are omin(3) omax(3)
-        # dmin(3) dmax(3); reciprocals + branch predicates hoisted out
-        # of the 16k-cluster loop nest.
-        omin = [bounds_ref[0, k] for k in range(3)]
-        omax = [bounds_ref[0, 3 + k] for k in range(3)]
-        dmin = [bounds_ref[0, 6 + k] for k in range(3)]
-        dmax = [bounds_ref[0, 9 + k] for k in range(3)]
-        pre = {"omin": omin, "omax": omax,
-               "mixed": [], "zero": [], "pos": [],
-               "inv_dp": [], "inv_dn": []}
-        for k in range(3):
-            dn, dp = dmin[k], dmax[k]
-            pre["mixed"].append((dn <= 0.0) & (dp >= 0.0))
-            pre["zero"].append((dn == 0.0) & (dp == 0.0))
-            pre["pos"].append(dn > 0.0)
-            dp_s = jnp.where(jnp.abs(dp) > 1e-30, dp, 1e-30)
-            dn_s = jnp.where(jnp.abs(dn) > 1e-30, dn, 1e-30)
-            pre["inv_dp"].append(1.0 / dp_s)
-            pre["inv_dn"].append(1.0 / dn_s)
+        # bounds rows: omin(3) omax(3) dmin(3) dmax(3), (8,128) planes
+        pre = {"omin": [bounds_ref[0, k] for k in range(3)],
+               "omax": [bounds_ref[0, 3 + k] for k in range(3)]}
+        _dir_pre(pre, [bounds_ref[0, 6 + k] for k in range(3)],
+                 [bounds_ref[0, 9 + k] for k in range(3)])
 
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -153,14 +175,65 @@ def _make_hier_kernel(n_super: int, nwords: int):
                     return word | (chit.astype(jnp.int32) << c)
 
                 out_ref[s] = jax.lax.fori_loop(
-                    0, 32, bit_step,
-                    jnp.zeros((_TB_S, _TB_L), jnp.int32))
+                    0, 32, bit_step, jnp.zeros((8, 128), jnp.int32))
 
             return carry
 
         jax.lax.fori_loop(0, n_super, super_step, 0)
 
     return kernel
+
+
+def _smem_cull_words(lo, hi, omin, omax, dmin, dmax, nwords: int,
+                     interpret: bool):
+    t_cnt = omin.shape[0]
+    b = lo.shape[0]
+    b32 = nwords * 32
+    n_super = nwords
+    if b32 > b:
+        lo, hi = _pad_boxes(lo, hi, b32 - b)
+    sup_lo = jnp.min(lo.reshape(n_super, 32, 3), axis=1)
+    sup_hi = jnp.max(hi.reshape(n_super, 32, 3), axis=1)
+    # flattened 1-D SMEM tables (2-D scalar arrays pad the last dim to
+    # 128 lanes — ops/megakernel.py:_pack_mask_bits learned this)
+    clus_flat = jnp.concatenate([lo, hi], axis=1).reshape(-1)
+    sup_flat = jnp.concatenate([sup_lo, sup_hi], axis=1).reshape(-1)
+
+    # tile bounds -> (G, 16, 8, 128): 12 data rows + 4 pad rows, tiles
+    # padded with cones that can never hit (origin +inf, direction 0)
+    g = -(-t_cnt // SMEM_TILES_PER_PROG)
+    t_pad = g * SMEM_TILES_PER_PROG
+    rows = [omin[:, k] for k in range(3)] + [omax[:, k] for k in range(3)] \
+        + [dmin[:, k] for k in range(3)] + [dmax[:, k] for k in range(3)]
+    padded = []
+    for i, r_ in enumerate(rows):
+        fill = F32_INF if i < 6 else 0.0
+        padded.append(jnp.concatenate(
+            [r_, jnp.full((t_pad - t_cnt,), fill, jnp.float32)])
+            if t_pad > t_cnt else r_)
+    bounds = jnp.stack(padded + [jnp.zeros((t_pad,), jnp.float32)] * 4)
+    bounds = bounds.reshape(16, g, 8, 128).transpose(1, 0, 2, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # super + cluster AABB tables ride SMEM
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 16, 8, 128),
+                         lambda i, s0, s1: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nwords, 8, 128),
+                               lambda i, s0, s1: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _make_smem_kernel(n_super, nwords),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g * nwords, 8, 128), jnp.int32),
+        interpret=interpret,
+    )(sup_flat, clus_flat, bounds)
+
+    words = out.reshape(g, nwords, 8, 128).transpose(0, 2, 3, 1)
+    return words.reshape(t_pad, nwords)[:t_cnt]
 
 
 @functools.partial(jax.jit, static_argnames=("nwords", "interpret"))
@@ -171,60 +244,10 @@ def hier_cull_words(blk_lo, blk_hi, omin, omax, dmin, dmax, *,
     LBVH leaf (Morton) order; omin..dmax: (T, 3) tile cone bounds
     (ops/traverse.py:tile_ray_bounds). Returns (T, nwords) i32 — a
     conservative superset of tile_cull_mask's packing, same word layout.
+
+    Callers gate on hier_cull_fits (the SMEM table budget).
     """
-    t_cnt = omin.shape[0]
-    b = blk_lo.shape[0]
-    b32 = nwords * 32
-    n_super = nwords
-
     lo, hi = _widen(blk_lo.astype(jnp.float32), blk_hi.astype(jnp.float32))
-    if b32 > b:  # pad with empty boxes: never hit, bits stay 0
-        pad_lo = jnp.full((b32 - b, 3), F32_INF, jnp.float32)
-        pad_hi = jnp.full((b32 - b, 3), -F32_INF, jnp.float32)
-        lo = jnp.concatenate([lo, pad_lo])
-        hi = jnp.concatenate([hi, pad_hi])
-    sup_lo = jnp.min(lo.reshape(n_super, 32, 3), axis=1)
-    sup_hi = jnp.max(hi.reshape(n_super, 32, 3), axis=1)
-    # flattened 1-D SMEM tables (2-D scalar arrays pad the last dim to
-    # 128 lanes — ops/megakernel.py:_pack_mask_bits learned this)
-    clus_flat = jnp.concatenate([lo, hi], axis=1).reshape(-1)
-    sup_flat = jnp.concatenate([sup_lo, sup_hi], axis=1).reshape(-1)
-
-    # tile bounds -> (G, 16, 8, 128): 12 data rows + 4 pad rows, tiles
-    # padded with cones that can never hit (origin +inf, direction 0)
-    g = -(-t_cnt // TILES_PER_PROG)
-    t_pad = g * TILES_PER_PROG
-    rows = [omin[:, 0], omin[:, 1], omin[:, 2],
-            omax[:, 0], omax[:, 1], omax[:, 2],
-            dmin[:, 0], dmin[:, 1], dmin[:, 2],
-            dmax[:, 0], dmax[:, 1], dmax[:, 2]]
-    padded = []
-    for i, r_ in enumerate(rows):
-        fill = F32_INF if i < 6 else 0.0
-        padded.append(jnp.concatenate(
-            [r_, jnp.full((t_pad - t_cnt,), fill, jnp.float32)])
-            if t_pad > t_cnt else r_)
-    bounds = jnp.stack(padded + [jnp.zeros((t_pad,), jnp.float32)] * 4)
-    bounds = bounds.reshape(16, g, _TB_S, _TB_L).transpose(1, 0, 2, 3)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # super + cluster AABB tables ride SMEM
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 16, _TB_S, _TB_L),
-                         lambda i, s0, s1: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nwords, _TB_S, _TB_L),
-                               lambda i, s0, s1: (i, 0, 0)),
-    )
-    out = pl.pallas_call(
-        _make_hier_kernel(n_super, nwords),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g * nwords, _TB_S, _TB_L),
-                                       jnp.int32),
-        interpret=interpret,
-    )(sup_flat, clus_flat, bounds)
-
-    words = out.reshape(g, nwords, _TB_S, _TB_L).transpose(0, 2, 3, 1)
-    return words.reshape(t_pad, nwords)[:t_cnt]
+    args = (lo, hi, omin.astype(jnp.float32), omax.astype(jnp.float32),
+            dmin.astype(jnp.float32), dmax.astype(jnp.float32))
+    return _smem_cull_words(*args, nwords, interpret)
