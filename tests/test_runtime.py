@@ -252,3 +252,41 @@ class TestLogging:
 
         log = get_logger("test")
         log_frame_stats(log, frame=1, frame_ms=16.0, width=64, height=64)
+
+
+class TestWindow:
+    """Desktop window shell (runtime/window.py) — presentation encoding
+    and key mapping are testable headless; the Tk window itself needs a
+    display (Window.__init__ must raise cleanly without one)."""
+
+    def test_image_to_ppm_roundtrip(self):
+        from rust_wgpu_raytracing_tpu.runtime.window import image_to_ppm
+
+        img = (np.arange(2 * 3 * 3) % 256).astype(np.uint8).reshape(2, 3, 3)
+        data = image_to_ppm(img)
+        header, rest = data.split(b"\n", 1)
+        assert header == b"P6"
+        dims, rest = rest.split(b"\n", 1)
+        assert dims == b"3 2"
+        maxv, pixels = rest.split(b"\n", 1)
+        assert maxv == b"255"
+        np.testing.assert_array_equal(
+            np.frombuffer(pixels, np.uint8).reshape(2, 3, 3), img)
+
+    def test_keysym_map_covers_reference_keys(self):
+        """Same key set as the reference controller
+        (circle_camera_control.rs:32-74) and the HTTP shell."""
+        from rust_wgpu_raytracing_tpu.runtime.window import KEYSYM_MAP
+
+        assert set(KEYSYM_MAP.values()) == {
+            "w", "a", "s", "d", "up", "down", "left", "right",
+            "space", "lshift"}
+
+    def test_headless_raises_runtime_error(self, monkeypatch):
+        import rust_wgpu_raytracing_tpu.runtime.window as win
+
+        if "DISPLAY" in __import__("os").environ:
+            pytest.skip("display present; headless behavior not testable")
+        r = tiny_renderer()
+        with pytest.raises(RuntimeError, match="no display"):
+            win.Window(r)
