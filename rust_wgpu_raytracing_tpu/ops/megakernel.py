@@ -880,7 +880,8 @@ def _tile_bounds(x, tile_r):
     return jnp.min(t, axis=1), jnp.max(t, axis=1)
 
 
-def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
+def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r,
+                   act=None):
     """(tiles, clusters) i32 conservative activity mask — the FLAT scan.
 
     Interval-arithmetic slab test: a tile's rays are bounded by
@@ -891,7 +892,8 @@ def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
     origins). O(tiles x clusters) — at large cluster counts the LBVH
     walk (accel="bvh") replaces this.
     """
-    omin, omax, dmin, dmax = tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r)
+    omin, omax, dmin, dmax = tile_ray_bounds(ox, oy, oz, dx, dy, dz,
+                                             tile_r, act)
     a = scene.blk_lo[None, :, :] - omax[:, None, :]  # (T,B,3)
     b = scene.blk_hi[None, :, :] - omin[:, None, :]
     ok = slab_interval_ok(a, b, dmin[:, None, :], dmax[:, None, :])
@@ -900,7 +902,7 @@ def tile_cull_mask(scene: SceneData, ox, oy, oz, dx, dy, dz, tile_r):
 
 def _mask_words(scene: SceneData, accel: str, ox, oy, oz, dx, dy, dz,
                 tile_r: int, block_f: int, f: int,
-                interpret: bool = False):
+                interpret: bool = False, act=None):
     """Packed per-(tile, cluster) activity words for the kernels.
 
     accel: "brute" = all bits set (reference-parity brute force);
@@ -920,11 +922,11 @@ def _mask_words(scene: SceneData, accel: str, ox, oy, oz, dx, dy, dz,
         return jnp.full((n_tiles * nwords,), -1, jnp.int32), nwords
     if accel == "bvh" and block_f == CULL_BLOCK and \
             scene.blk_lo.shape[0] == nb and hier_cull_fits(nb):
-        bounds = tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r)
+        bounds = tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r, act)
         words = hier_cull_words(scene.blk_lo, scene.blk_hi, *bounds,
                                 nwords=nwords, interpret=interpret)
         return words.reshape(-1), nwords
-    mask = tile_cull_mask(scene, ox, oy, oz, dx, dy, dz, tile_r)
+    mask = tile_cull_mask(scene, ox, oy, oz, dx, dy, dz, tile_r, act)
     return _pack_mask_bits(_regroup_mask(mask, f, block_f))
 
 
@@ -1042,9 +1044,13 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
         stream = _should_stream(f, block_f)
 
     dxp, dyp, dzp, oxp, oyp, ozp = planes
+    # parked (terminated) rays carry all-zero directions — at streaming
+    # scale keep them out of the tile bounds or one mixed tile admits
+    # the whole scene (see anyhit_pallas for the small-scene trade-off)
+    live = ((dxp != 0.0) | (dyp != 0.0) | (dzp != 0.0)) if stream else None
     mask, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
                                dxp, dyp, dzp, tile_r, block_f, f,
-                               interpret)
+                               interpret, act=live)
 
     grid = (r // tile_r,)
     ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
@@ -1117,9 +1123,14 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
         stream = _should_stream(f, block_f)
 
     dxp, dyp, dzp, oxp, oyp, ozp = args
+    # act-aware bounds only pay at streaming scale: a real/parked mixed
+    # tile admits the WHOLE scene (16k clusters on the terrain), while a
+    # small scene's "whole scene" is a handful of clusters — there the
+    # extra where-masked reductions cost more than they save
     mask, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
                                dxp, dyp, dzp, tile_r, block_f, f,
-                               interpret)
+                               interpret,
+                               act=(act > 0) if stream else None)
     order = _shadow_visit_order(scene, dxp, dyp, dzp, act, nwords,
                                 block_f, f)
 
@@ -1589,6 +1600,13 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         w_t = jnp.zeros((r,))
         w_nx = jnp.zeros((r,)); w_ny = jnp.zeros((r,)); w_nz = jnp.zeros((r,))
         w_lx = jnp.zeros((r,)); w_ly = jnp.zeros((r,)); w_lz = jnp.full((r,), 1.0)
+        # does occlusion even matter for this pixel? p = amb + tex*lam +
+        # ks*spec, and the shadowed replacement is exactly amb — so when
+        # the winner's lam == 0 AND spec == 0 (surface faces away from
+        # the light) the lit and shadowed colors are BITWISE equal and
+        # the shadow ray can be parked. Recorded from the passes' actual
+        # lam/spec values, so the gate is exact, not a re-derivation.
+        w_rel = jnp.zeros((r,), bool)
 
     def composite(state, pr, pg, pb, t, hit, extra=None):
         cr, cg, cb, depth = state[:4]
@@ -1604,7 +1622,8 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     has_mesh = scene.num_faces > 0
     state = [cr, cg, cb, depth]
     if shadows:
-        state += [w_ar, w_ag, w_ab, w_t, w_nx, w_ny, w_nz, w_lx, w_ly, w_lz]
+        state += [w_ar, w_ag, w_ab, w_t, w_nx, w_ny, w_nz,
+                  w_lx, w_ly, w_lz, w_rel]
         covered = jnp.zeros((r,), bool)
 
     # --- sphere passes, in config order (src/lib.rs:1106-1148) ---
@@ -1624,7 +1643,8 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
             extra = [col[0] * coeff[0], col[1] * coeff[0], col[2] * coeff[0],
                      t, nx, ny, nz,
                      jnp.full((r,), light[0]), jnp.full((r,), light[1]),
-                     jnp.full((r,), light[2])]
+                     jnp.full((r,), light[2]),
+                     (lam > 0.0) | (spec > 0.0)]
         state, write = composite(state, pr, pg, pb, t, hit, extra)
         if shadows:
             covered = covered | write
@@ -1704,7 +1724,8 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         extra = None
         if shadows:
             extra = [amb_r, amb_g, amb_b, gb.t, nx, ny, nz,
-                     lightx, lighty, lightz]
+                     lightx, lighty, lightz,
+                     (lam > 0.0) | (spec > 0.0)]
         state, write = composite(state, pr, pg, pb, gb.t, hit, extra)
         if shadows:
             covered = covered | write
@@ -1713,19 +1734,25 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
 
     # --- single deferred shadow pass for the visible surface ---
     if shadows:
-        w_ar, w_ag, w_ab, w_t, w_nx, w_ny, w_nz, w_lx, w_ly, w_lz = state[4:]
+        (w_ar, w_ag, w_ab, w_t, w_nx, w_ny, w_nz,
+         w_lx, w_ly, w_lz, w_rel) = state[4:]
         ll = jnp.sqrt(w_lx * w_lx + w_ly * w_ly + w_lz * w_lz)
         ll = jnp.where(ll > 0, ll, 1.0)
-        # park uncovered pixels' shadow rays: far origin + zero direction
-        # lets the tile cull mask drop whole (tile, cluster) steps
+        # trace only pixels whose shading the occlusion bit can change
+        # (see w_rel above — backlit surfaces render as pure ambient
+        # either way, so parking them is bit-identical and drops the
+        # terrain scene's self-shadowed backslopes from the wavefront)
+        relevant = covered & w_rel
+        # park the rest: far origin + zero direction lets the tile cull
+        # mask drop whole (tile, cluster) steps
         far = 1e9
-        sdx = jnp.where(covered, -w_lx / ll, 0.0)
-        sdy = jnp.where(covered, -w_ly / ll, 0.0)
-        sdz = jnp.where(covered, -w_lz / ll, 0.0)
-        ts = jnp.where(covered, w_t, 0.0)
-        px = jnp.where(covered, origin[0] + dx * ts + w_nx * 1e-3, far)
-        py = jnp.where(covered, origin[1] + dy * ts + w_ny * 1e-3, far)
-        pz = jnp.where(covered, origin[2] + dz * ts + w_nz * 1e-3, far)
+        sdx = jnp.where(relevant, -w_lx / ll, 0.0)
+        sdy = jnp.where(relevant, -w_ly / ll, 0.0)
+        sdz = jnp.where(relevant, -w_lz / ll, 0.0)
+        ts = jnp.where(relevant, w_t, 0.0)
+        px = jnp.where(relevant, origin[0] + dx * ts + w_nx * 1e-3, far)
+        py = jnp.where(relevant, origin[1] + dy * ts + w_ny * 1e-3, far)
+        pz = jnp.where(relevant, origin[2] + dz * ts + w_nz * 1e-3, far)
         occ = jnp.zeros((r,), bool)
         if has_mesh:
             # big scenes: re-tile the shadow wavefront by origin
@@ -1733,7 +1760,7 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
             ah = (anyhit_reordered_pallas
                   if _should_stream(scene.padded_faces, BLOCK_F)
                   else anyhit_pallas)
-            occ = ah(scene, px, py, pz, sdx, sdy, sdz, covered,
+            occ = ah(scene, px, py, pz, sdx, sdy, sdz, relevant,
                      interpret=interpret, accel=accel)
         occ = occ | _spheres_occlude_planar(scene, px, py, pz, sdx, sdy, sdz)
         shadowed = covered & occ

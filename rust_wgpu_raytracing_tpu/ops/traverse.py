@@ -63,31 +63,46 @@ def slab_interval_ok(a, b, dn, dp):
     return box_ok & (t1 >= 0.0) & (t1 >= t0)
 
 
-def _tile_minmax(x, tile_r):
+def _tile_minmax(x, tile_r, act=None):
     t = x.reshape(-1, tile_r)
-    return jnp.min(t, axis=1), jnp.max(t, axis=1)
+    if act is None:
+        return jnp.min(t, axis=1), jnp.max(t, axis=1)
+    a = act.reshape(-1, tile_r)
+    return (jnp.min(jnp.where(a, t, F32_INF), axis=1),
+            jnp.max(jnp.where(a, t, -F32_INF), axis=1))
 
 
-def tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r):
+def tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r, act=None):
     """Componentwise per-tile origin/direction interval bounds.
 
     ox/oy/oz may be scalars (shared-origin primary rays) or padded (R,)
     planes (per-ray shadow/bounce origins). Returns (omin, omax, dmin,
     dmax), each (T, 3) f32.
+
+    act (optional, (R,) bool): rays to include in the bounds. Parked
+    rays (sentinel origins, zero directions) otherwise POISON their
+    tile: one tile mixing real and parked rays gets a direction
+    interval containing zero, which the conservative slab test must
+    treat as unbounded-t — the tile admits the ENTIRE scene (measured:
+    the one real/parked boundary tile of a sorted shadow wavefront
+    carried 16,321 of a mean 55 clusters). With act, mixed tiles bound
+    only their live rays, and fully-parked tiles produce an empty
+    (+inf, -inf) interval that culls everything. Conservative for
+    every ray the kernel may report on: inactive lanes never write.
     """
     def bounds(v):
         if jnp.ndim(v) == 0:
             n = dx.shape[0] // tile_r
             b = jnp.broadcast_to(v, (n,))
             return b, b
-        return _tile_minmax(v, tile_r)
+        return _tile_minmax(v, tile_r, act)
 
     oxm, oxM = bounds(ox)
     oym, oyM = bounds(oy)
     ozm, ozM = bounds(oz)
-    dxm, dxM = _tile_minmax(dx, tile_r)
-    dym, dyM = _tile_minmax(dy, tile_r)
-    dzm, dzM = _tile_minmax(dz, tile_r)
+    dxm, dxM = _tile_minmax(dx, tile_r, act)
+    dym, dyM = _tile_minmax(dy, tile_r, act)
+    dzm, dzM = _tile_minmax(dz, tile_r, act)
     omin = jnp.stack([oxm, oym, ozm], axis=1)
     omax = jnp.stack([oxM, oyM, ozM], axis=1)
     dmin = jnp.stack([dxm, dym, dzm], axis=1)
