@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.scene import (CULL_BLOCK, FACE_PAD, STREAM_FACES, SUPER_F,
-                          Scene, SceneData)
+from ..core.scene import (CULL_BLOCK, FACE_PAD, STREAM_COLS, STREAM_FACES,
+                          SUPER_F, Scene, SceneData)
 
 
 @dataclass
@@ -186,7 +186,7 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             # the untransformed mesh — invalidate so the kernels rebuild
             # it in-jit from the refit geometry (ops/megakernel.py
             # _stream_pack)
-            spack=jnp.zeros((0, 128), jnp.float32),
+            spack=jnp.zeros((0, STREAM_COLS), jnp.float32),
             # the host-built radix tree is stale once instances move
             # (accel="bvh" only needs the refit blk_lo/hi, so the
             # hierarchical cull still applies)

@@ -138,8 +138,6 @@ def pack_origin_cols(scene: SceneData, origin) -> jnp.ndarray:
 # one-GB temp copies at 2M faces — an HBM OOM). Mosaic DMA slices need
 # 128-aligned minor dims, so a separate (F, 8) ride-along cannot
 # stream on its own.
-_SC_DC = SC_DC
-_SC_OT = SC_OT
 
 
 def _stream_pack(scene: SceneData) -> jnp.ndarray:
@@ -162,7 +160,7 @@ def pack_stream_columns(scene: SceneData) -> jnp.ndarray:
     return jnp.concatenate([
         fpack,
         dc,
-        jnp.zeros((f, STREAM_COLS - _SC_DC - 4), jnp.float32),
+        jnp.zeros((f, STREAM_COLS - SC_DC - 4), jnp.float32),
     ], axis=1)
 
 
@@ -765,7 +763,7 @@ def _make_streaming_ch_kernel(with_nm: bool, block_f: int, sup_f: int,
             base = pl.multiple_of(b * block_f, block_f)
             blk = buf[pl.ds(base, block_f), :]  # (BF, STREAM_COLS) value
             g = blk[:, :FPACK_COLS]
-            o = blk[:, _SC_OT:_SC_OT + 8]
+            o = blk[:, SC_OT:SC_OT + 8]
             _ch_block(g, o, dx, dy, dz, s * sup_f + b * block_f,
                       t_ref, face_ref, u_ref, v_ref, nd_ref,
                       uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
@@ -798,7 +796,7 @@ def _make_streaming_chp_kernel(block_f: int, sup_f: int, n_super: int):
             base = pl.multiple_of(b * block_f, block_f)
             blk = buf[pl.ds(base, block_f), :]
             g = blk[:, :FPACK_COLS]
-            dc = blk[:, _SC_DC:_SC_DC + 8]
+            dc = blk[:, SC_DC:SC_DC + 8]
             _chp_block(g, dc, dx, dy, dz, ox, oy, oz,
                        s * sup_f + b * block_f,
                        t_ref, face_ref, u_ref, v_ref, nd_ref,
@@ -826,7 +824,7 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int):
             base = pl.multiple_of(b * block_f, block_f)
             blk = buf[pl.ds(base, block_f), :]
             g = blk[:, :FPACK_COLS]
-            dc = blk[:, _SC_DC:_SC_DC + 8]
+            dc = blk[:, SC_DC:SC_DC + 8]
             _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref)
 
         def all_occluded():
@@ -961,7 +959,7 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
         # reserved columns: one aligned (F, 128) materialization instead
         # of rebuilding the whole pack from narrow operands
         spack = jax.lax.dynamic_update_slice(
-            _stream_pack(scene), oterm, (0, _SC_OT))
+            _stream_pack(scene), oterm, (0, SC_OT))
     else:
         fpack = pack_face_columns(scene)
 

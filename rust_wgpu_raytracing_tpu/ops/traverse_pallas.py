@@ -80,14 +80,21 @@ def hier_cull_fits(n_clusters: int) -> bool:
     return _smem_fits(n_clusters)
 
 
-def _widen(lo, hi):
-    """Conservatively widen AABBs. Empty padding boxes (+inf, -inf)
-    must pass through untouched: inf - inf = NaN, and one NaN cluster
-    would poison its superblock's min/max union into never-hit."""
-    wlo = jnp.where(jnp.isfinite(lo), lo - (_EPS_REL * jnp.abs(lo) + _EPS_ABS),
-                    lo)
-    whi = jnp.where(jnp.isfinite(hi), hi + (_EPS_REL * jnp.abs(hi) + _EPS_ABS),
-                    hi)
+def _widen(lo, hi, omag):
+    """Conservatively widen AABBs. The margin must dominate the
+    reciprocal-multiply rounding of the slab terms A = box - origin
+    bound, whose magnitude scales with |box| + |origin| — NOT |box|
+    alone (a unit mesh viewed from distance 1000 has |A| ~ 1000, and a
+    |box|-relative margin would be ~100x too small to absorb ~2-ulp
+    error). omag: scalar upper bound on |origin| over all tiles.
+    _EPS_REL = 1e-5 leaves ~80x slack over f32 ulp. Empty padding boxes
+    (+inf, -inf) pass through untouched: inf - inf = NaN, and one NaN
+    cluster would poison its superblock's min/max union into never-hit.
+    """
+    m_lo = _EPS_REL * (jnp.abs(lo) + omag) + _EPS_ABS
+    m_hi = _EPS_REL * (jnp.abs(hi) + omag) + _EPS_ABS
+    wlo = jnp.where(jnp.isfinite(lo), lo - m_lo, lo)
+    whi = jnp.where(jnp.isfinite(hi), hi + m_hi, hi)
     return wlo, whi
 
 
@@ -247,7 +254,15 @@ def hier_cull_words(blk_lo, blk_hi, omin, omax, dmin, dmax, *,
 
     Callers gate on hier_cull_fits (the SMEM table budget).
     """
-    lo, hi = _widen(blk_lo.astype(jnp.float32), blk_hi.astype(jnp.float32))
-    args = (lo, hi, omin.astype(jnp.float32), omax.astype(jnp.float32),
+    omin = omin.astype(jnp.float32)
+    omax = omax.astype(jnp.float32)
+    # scale-aware widening: bound |origin| over live tiles (empty-tile
+    # sentinels are +/-inf; exclude them or the margin itself goes inf)
+    fin_lo = jnp.where(jnp.isfinite(omin), jnp.abs(omin), 0.0)
+    fin_hi = jnp.where(jnp.isfinite(omax), jnp.abs(omax), 0.0)
+    omag = jnp.maximum(jnp.max(fin_lo), jnp.max(fin_hi))
+    lo, hi = _widen(blk_lo.astype(jnp.float32), blk_hi.astype(jnp.float32),
+                    omag)
+    args = (lo, hi, omin, omax,
             dmin.astype(jnp.float32), dmax.astype(jnp.float32))
     return _smem_cull_words(*args, nwords, interpret)

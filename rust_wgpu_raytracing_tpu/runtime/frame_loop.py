@@ -73,12 +73,25 @@ class FrameLoop:
         self.profiler = Profiler()
         self.running = False
         self.frame_index = 0
+        self._stopped = False  # sticky: a stop() before run() must win
+        self._resize_req: Optional[tuple] = None
 
     # --- input path (State::input, src/lib.rs:990-992) ---
     def push_key(self, key: str, pressed: bool = True):
         self.events.put(KeyEvent(key, pressed))
 
+    def request_resize(self, width: int, height: int):
+        """Thread-safe resize request (WindowEvent::Resized analogue,
+        src/lib.rs:1325): applied by the RENDER thread at the start of
+        the next step — Renderer.resize rebuilds jit state and must not
+        race an in-flight render."""
+        self._resize_req = (int(width), int(height))
+
     def _drain_events(self):
+        req, self._resize_req = self._resize_req, None
+        if req is not None and req != (self.renderer.width,
+                                       self.renderer.height):
+            self.renderer.resize(*req)
         while True:
             try:
                 ev = self.events.get_nowait()
@@ -128,8 +141,11 @@ class FrameLoop:
         return img
 
     def run(self, n_frames: Optional[int] = None):
-        """Blocking loop (the event_loop.run analogue)."""
-        self.running = True
+        """Blocking loop (the event_loop.run analogue). A stop() issued
+        before run() starts (e.g. a window closed while the render
+        thread spins up) is honored — running is never re-asserted over
+        a sticky stop."""
+        self.running = not self._stopped
         count = 0
         while self.running and (n_frames is None or count < n_frames):
             t0 = time.perf_counter()
@@ -147,4 +163,5 @@ class FrameLoop:
         return th
 
     def stop(self):
+        self._stopped = True
         self.running = False

@@ -75,6 +75,7 @@ class Window:
 
         self.root.bind("<KeyPress>", self._on_key(True))
         self.root.bind("<KeyRelease>", self._on_key(False))
+        self.root.bind("<Configure>", self._on_configure)
         self.root.protocol("WM_DELETE_WINDOW", self.close)
 
     # --- input path (the reference's WindowEvent::KeyboardInput,
@@ -86,6 +87,13 @@ class Window:
             if key is not None:
                 self.loop.push_key(key, pressed)
         return handler
+
+    # --- resize path (WindowEvent::Resized -> State::resize,
+    #     src/lib.rs:1325 -> 772); applied by the render thread ---
+    def _on_configure(self, event):
+        if event.widget is self.root and event.width > 1 \
+                and event.height > 1:
+            self.loop.request_resize(event.width, event.height)
 
     # --- present path (worker thread -> UI mailbox) ---
     def _on_frame(self, img: np.ndarray):
@@ -104,8 +112,9 @@ class Window:
     def run(self, n_frames: Optional[int] = None):
         """Open the window and run until closed (event_loop.run
         analogue). Blocks in the Tk main loop; rendering happens on a
-        worker thread."""
-        self.loop.running = True
+        worker thread. (FrameLoop.run sets running; a close() racing
+        the thread spin-up is safe — stop() is sticky.)"""
+        self.loop.running = True  # keep _poll scheduling until run() owns it
         self._worker = threading.Thread(
             target=self.loop.run, kwargs=dict(n_frames=n_frames),
             daemon=True)
@@ -114,7 +123,7 @@ class Window:
         self.root.mainloop()
 
     def close(self):
-        self.loop.running = False
+        self.loop.stop()
         if self._worker is not None:
             self._worker.join(timeout=5.0)
         self.root.destroy()

@@ -150,6 +150,34 @@ class TestHierCull:
         for c in range(first_pad_cluster, f // CULL_BLOCK):
             assert not np.any(hw & (np.uint32(1) << np.uint32(c % 32)))
 
+    def test_superset_multiword(self):
+        """Exercise the multi-superblock walk (s > 0 SMEM table offsets,
+        several mask words per tile) in CI — terrain:45 has 3,872 faces
+        = 121 clusters = 4 words, with per-ray shadow-style origins so
+        the tile bounds are genuine intervals."""
+        from rust_wgpu_raytracing_tpu.ops.traverse_pallas import (
+            hier_cull_words)
+
+        cfg, s = terrain_scene(45)
+        uni = CameraUniforms.unflat(uni_for(cfg, 128, 128))
+        dx, dy, dz = raygen_planar(128, 128, uni)
+        o = uni.origin
+        r = dx.shape[0]
+        ox = jnp.full((r,), float(o[0])) + dx * 0.5
+        oy = jnp.full((r,), float(o[1])) + dy * 0.5
+        oz = jnp.full((r,), float(o[2])) + dz * 0.5
+        f = s.data.padded_faces
+        flat = tile_cull_mask(s.data, ox, oy, oz, dx, dy, dz, 1024)
+        flat_words, nwords = _pack_mask_bits(flat)
+        assert nwords >= 4
+        bounds = tile_ray_bounds(ox, oy, oz, dx, dy, dz, 1024)
+        hier = hier_cull_words(s.data.blk_lo, s.data.blk_hi, *bounds,
+                               nwords=nwords, interpret=True)
+        fw = np.asarray(flat_words).view(np.uint32)
+        hw = np.asarray(hier).reshape(-1).view(np.uint32)
+        assert np.unpackbits(fw.view(np.uint8)).sum() > 0
+        np.testing.assert_array_equal(fw & ~hw, np.zeros_like(fw))
+
 
 class TestAccelParity:
     @pytest.mark.parametrize("accel", ["brute", "bvh"])
@@ -279,3 +307,32 @@ class TestTerrainAsset:
         l = np.linalg.norm(m.normals, axis=1)
         np.testing.assert_allclose(l, 1.0, atol=1e-5)
         assert m.uvs.min() == 0.0 and m.uvs.max() == 1.0
+
+
+class TestStreamPack:
+    def test_host_pack_matches_in_jit_build(self, monkeypatch):
+        """SceneData.spack (numpy transcription, core/scene.py
+        _stream_pack_np) must match the in-jit pack_stream_columns it
+        replaces — it only activates above STREAM_FACES, which no test
+        scene reaches naturally, so force it low here. Cols 13-15 (unit
+        normal) may drift by ~1 ulp (XLA lowers n/sqrt(s) with
+        rsqrt-style contractions numpy cannot reproduce); everything
+        else is exact. A transcription slip would otherwise ship green
+        and corrupt every big-scene render silently."""
+        from rust_wgpu_raytracing_tpu.core import scene as scene_mod
+        from rust_wgpu_raytracing_tpu.ops.megakernel import (
+            pack_stream_columns)
+
+        monkeypatch.setattr(scene_mod, "STREAM_FACES", 100)
+        cfg, s = terrain_scene(23)  # 968 faces > patched threshold
+        assert s.data.spack.shape == (s.data.padded_faces, 128)
+        host = np.asarray(s.data.spack)
+        jit = np.asarray(pack_stream_columns(s.data))
+        exact_cols = [c for c in range(jit.shape[1])
+                      if c not in (13, 14, 15)]
+        np.testing.assert_array_equal(host[:, exact_cols],
+                                      jit[:, exact_cols])
+        np.testing.assert_allclose(host[:, 13:16], jit[:, 13:16],
+                                   rtol=3e-7, atol=1e-7)
+        # the reserved origin-term slot must be zero in the static pack
+        assert not host[:, 48:56].any()
