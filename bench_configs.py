@@ -153,8 +153,16 @@ def main():
                   lambda accel=accel: render_megakernel(
                       sd6, uni6, width=w, height=h, accel=accel,
                       interpret=interp), w, h, n=5)
+    # shadows with a LOW SUN so occlusion is real (the default light's
+    # shadow rays leave the heightfield without ever hitting it —
+    # measured zero occluded pixels, i.e. a shadow bench that casts no
+    # shadows; this sun shades ~4% of pixels and exercises the any-hit
+    # early exit)
+    cfg6s = dc.replace(cfg6, meshes=(dc.replace(
+        cfg6.meshes[0], light_direction=(6.0, -1.0, 1.0)),))
+    sd6s = Scene.build(cfg6s).data
     bench_one("6_terrain522k_1080p_shadows",
-              lambda: render_megakernel(sd6, uni6, width=w, height=h,
+              lambda: render_megakernel(sd6s, uni6, width=w, height=h,
                                         shadows=True, interpret=interp),
               w, h, n=3, rays_factor=2.0)
 
@@ -171,8 +179,11 @@ def main():
     bench_one("7_terrain2M_1080p_cull",
               lambda: render_megakernel(sd7, uni7, width=w, height=h,
                                         interpret=interp), w, h, n=5)
+    cfg7s = dc.replace(cfg7, meshes=(dc.replace(
+        cfg7.meshes[0], light_direction=(6.0, -1.0, 1.0)),))
+    sd7s = Scene.build(cfg7s).data
     bench_one("7_terrain2M_1080p_shadows",
-              lambda: render_megakernel(sd7, uni7, width=w, height=h,
+              lambda: render_megakernel(sd7s, uni7, width=w, height=h,
                                         shadows=True, interpret=interp),
               w, h, n=3, rays_factor=2.0)
 
