@@ -13,8 +13,20 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 import numpy as np
 
+# optional config-name prefix filter: `python bench_configs.py 4 6`
+# reruns only matching configs (fresh-process numbers for one config
+# beat in-process interference from a long run)
+ONLY = [a for a in sys.argv[1:] if not a.startswith("-")]
+
+
+def _want(prefix) -> bool:
+    return not ONLY or any(o.startswith(prefix) or prefix.startswith(o)
+                           for o in ONLY)
+
 
 def bench_one(name, frame_fn, width, height, n=10, rays_factor=1.0):
+    if not _want(name.split("_")[0]):
+        return
     import jax
 
     from rust_wgpu_raytracing_tpu.runtime.profiler import time_frames
@@ -146,46 +158,51 @@ def main():
                            translation=(0.0, 0.0, -3.0)),),
         camera=CameraConfig(eye=(0.0, -0.4, -1.2), target=(0.0, 0.0, -3.0)),
         render=RenderConfig(width=w, height=h))
-    sd6 = Scene.build(cfg6).data
-    uni6 = uni_for(cfg6, w, h)
-    for accel in ("cull", "bvh"):
-        bench_one(f"6_terrain522k_1080p_{accel}",
-                  lambda accel=accel: render_megakernel(
-                      sd6, uni6, width=w, height=h, accel=accel,
-                      interpret=interp), w, h, n=5)
-    # shadows with a LOW SUN so occlusion is real (the default light's
-    # shadow rays leave the heightfield without ever hitting it —
-    # measured zero occluded pixels, i.e. a shadow bench that casts no
-    # shadows; this sun shades ~4% of pixels and exercises the any-hit
-    # early exit)
-    cfg6s = dc.replace(cfg6, meshes=(dc.replace(
-        cfg6.meshes[0], light_direction=(6.0, -1.0, 1.0)),))
-    sd6s = Scene.build(cfg6s).data
-    bench_one("6_terrain522k_1080p_shadows",
-              lambda: render_megakernel(sd6s, uni6, width=w, height=h,
-                                        shadows=True, interpret=interp),
-              w, h, n=3, rays_factor=2.0)
+    if _want("6"):
+        sd6 = Scene.build(cfg6).data
+        uni6 = uni_for(cfg6, w, h)
+        for accel in ("cull", "bvh"):
+            bench_one(f"6_terrain522k_1080p_{accel}",
+                      lambda accel=accel: render_megakernel(
+                          sd6, uni6, width=w, height=h, accel=accel,
+                          interpret=interp), w, h, n=5)
+        # shadows with a LOW SUN so occlusion is real (the default
+        # light's shadow rays leave the heightfield without ever
+        # hitting it — measured zero occluded pixels, i.e. a shadow
+        # bench that casts no shadows; this sun shades ~4% of pixels
+        # and exercises the any-hit early exit)
+        cfg6s = dc.replace(cfg6, meshes=(dc.replace(
+            cfg6.meshes[0], light_direction=(6.0, -1.0, 1.0)),))
+        sd6s = Scene.build(cfg6s).data
+        bench_one("6_terrain522k_1080p_shadows",
+                  lambda: render_megakernel(sd6s, uni6, width=w, height=h,
+                                            shadows=True,
+                                            interpret=interp),
+                  w, h, n=3, rays_factor=2.0)
 
     # 7. 2M-face terrain (round 2): only renderable since the streaming
     # record moved to a host-side precompute — assembling the 128-col
     # pack in-jit OOMed HBM with ~18 one-GB layout-padded temps.
-    cfg7 = SceneConfig(
-        meshes=(MeshConfig(obj_path="builtin:terrain:1024",
-                           translation=(0.0, 0.0, -3.0)),),
-        camera=CameraConfig(eye=(0.0, -0.4, -1.2), target=(0.0, 0.0, -3.0)),
-        render=RenderConfig(width=w, height=h))
-    sd7 = Scene.build(cfg7).data
-    uni7 = uni_for(cfg7, w, h)
-    bench_one("7_terrain2M_1080p_cull",
-              lambda: render_megakernel(sd7, uni7, width=w, height=h,
-                                        interpret=interp), w, h, n=5)
-    cfg7s = dc.replace(cfg7, meshes=(dc.replace(
-        cfg7.meshes[0], light_direction=(6.0, -1.0, 1.0)),))
-    sd7s = Scene.build(cfg7s).data
-    bench_one("7_terrain2M_1080p_shadows",
-              lambda: render_megakernel(sd7s, uni7, width=w, height=h,
-                                        shadows=True, interpret=interp),
-              w, h, n=3, rays_factor=2.0)
+    if _want("7"):
+        cfg7 = SceneConfig(
+            meshes=(MeshConfig(obj_path="builtin:terrain:1024",
+                               translation=(0.0, 0.0, -3.0)),),
+            camera=CameraConfig(eye=(0.0, -0.4, -1.2),
+                                target=(0.0, 0.0, -3.0)),
+            render=RenderConfig(width=w, height=h))
+        sd7 = Scene.build(cfg7).data
+        uni7 = uni_for(cfg7, w, h)
+        bench_one("7_terrain2M_1080p_cull",
+                  lambda: render_megakernel(sd7, uni7, width=w, height=h,
+                                            interpret=interp), w, h, n=5)
+        cfg7s = dc.replace(cfg7, meshes=(dc.replace(
+            cfg7.meshes[0], light_direction=(6.0, -1.0, 1.0)),))
+        sd7s = Scene.build(cfg7s).data
+        bench_one("7_terrain2M_1080p_shadows",
+                  lambda: render_megakernel(sd7s, uni7, width=w, height=h,
+                                            shadows=True,
+                                            interpret=interp),
+                  w, h, n=3, rays_factor=2.0)
 
 
 if __name__ == "__main__":
