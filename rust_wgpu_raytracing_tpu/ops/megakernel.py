@@ -523,16 +523,46 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
     """Fused per-bounce sweep: closest-hit for extension rays
     (ox..,dx..) AND any-hit occlusion for shadow rays (sox..,sdx..,
     active) in one kernel pass. Returns (GBuffer, occluded (R,) bool).
-    Falls back to two kernels for HBM-streamed scenes."""
+
+    HBM-streamed scenes fall back to two kernels, with the whole
+    wavefront REORDERED by (origin-Morton, direction octant) first —
+    bounce directions are hemisphere samples, and a ray tile whose
+    direction interval contains zero on every axis defeats interval
+    culling completely (every cluster admitted; measured 18.7 s/spp on
+    the 522k terrain at 540p without the sort). One permutation serves
+    both ray sets: shadow origins are the same hit points, and their
+    constant direction is compatible with any origin-local grouping.
+    The permutation is exact — results are scattered back to ray order.
+    """
     f = scene.tri_p0.shape[0]
     if _should_stream(f, min(block_f, f)):
-        gb = gbuffer_perray_pallas(scene, ox, oy, oz, dx, dy, dz,
+        perm = _bounce_sort_perm(scene, ox, oy, oz, dx, dy, dz)
+        packed = jnp.stack([ox, oy, oz, dx, dy, dz,
+                            sox, soy, soz, sdx, sdy, sdz,
+                            active.astype(jnp.float32)])
+        pv = jnp.take(packed, perm, axis=1)  # ONE gather, all planes
+        gb = gbuffer_perray_pallas(scene, pv[0], pv[1], pv[2],
+                                   pv[3], pv[4], pv[5],
                                    tile_r=tile_r, block_f=block_f,
                                    interpret=interpret, accel=accel)
-        occ = anyhit_pallas(scene, sox, soy, soz, sdx, sdy, sdz, active,
+        occ = anyhit_pallas(scene, pv[6], pv[7], pv[8],
+                            pv[9], pv[10], pv[11], pv[12] > 0.0,
                             tile_r=tile_r, block_f=block_f,
                             interpret=interpret, accel=accel)
-        return gb, occ
+        # inverse-permute: ONE scatter for the f32 planes (face rides
+        # along bitcast — mixed-dtype stacks are not a thing)
+        face_f = jax.lax.bitcast_convert_type(gb.face, jnp.float32)
+        outs = jnp.stack([gb.t, face_f, gb.u, gb.v, gb.nd, gb.uvx,
+                          gb.uvy, gb.nx, gb.ny, gb.nz, gb.mat,
+                          occ.astype(jnp.float32)])
+        unsorted = jnp.zeros_like(outs).at[:, perm].set(outs)
+        gb = GBuffer(
+            t=unsorted[0],
+            face=jax.lax.bitcast_convert_type(unsorted[1], jnp.int32),
+            u=unsorted[2], v=unsorted[3], nd=unsorted[4],
+            uvx=unsorted[5], uvy=unsorted[6], nx=unsorted[7],
+            ny=unsorted[8], nz=unsorted[9], mat=unsorted[10])
+        return gb, unsorted[11] > 0.0
 
     nrays = dx.shape[0]
     planes = [_pad1(a, tile_r) for a in (dx, dy, dz, ox, oy, oz,
@@ -1248,6 +1278,45 @@ def _expand_bits_jnp(v):
     return v
 
 
+def _origin_morton(scene: SceneData, ox, oy, oz):
+    """30-bit Morton codes of per-ray origins in the scene's (finite)
+    cluster-AABB extent. Out-of-scene sentinels clip to the max cell."""
+    finite = jnp.isfinite(scene.blk_lo) & jnp.isfinite(scene.blk_hi)
+    lo = jnp.min(jnp.where(finite, scene.blk_lo, F32_INF), axis=0)
+    hi = jnp.max(jnp.where(finite, scene.blk_hi, -F32_INF), axis=0)
+    ext = jnp.maximum(hi - lo, 1e-12)
+
+    def q(p, a):
+        return jnp.clip((p - lo[a]) / ext[a] * 1023.0,
+                        0.0, 1023.0).astype(jnp.uint32)
+
+    return ((_expand_bits_jnp(q(ox, 0)) << 2)
+            | (_expand_bits_jnp(q(oy, 1)) << 1)
+            | _expand_bits_jnp(q(oz, 2)))
+
+
+def _bounce_sort_perm(scene: SceneData, ox, oy, oz, dx, dy, dz):
+    """(R,) permutation re-tiling an INCOHERENT bounce wavefront for the
+    interval cull: origin-Morton cell with the direction OCTANT spliced
+    into the key's middle bits. A tile whose direction interval spans
+    the whole sphere has an unbounded-t cone — the conservative slab
+    test must admit EVERY cluster (measured: 18.7 s/spp path tracing
+    the 522k terrain at 540p). Splitting each coarse origin cell by
+    direction sign octant bounds every tile's cone to a quadrant while
+    keeping origins compact: both the extension closest-hit and the
+    NEE shadow rays (same origins) can share this one permutation."""
+    m = _origin_morton(scene, ox, oy, oz)
+    octant = (((dx < 0.0).astype(jnp.uint32) << 2)
+              | ((dy < 0.0).astype(jnp.uint32) << 1)
+              | (dz < 0.0).astype(jnp.uint32))
+    # sign octant only: it fixes the slab test's pos/neg branch per
+    # axis, which is what bounds the t-interval; finer direction bins
+    # (tried: +dominant axis) fragment origin locality for no interval
+    # payoff and measured slightly slower
+    key = ((m >> 15) << 18) | (octant << 15) | (m & jnp.uint32(0x7FFF))
+    return jnp.argsort(key)
+
+
 def anyhit_reordered_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
                             active, *, interpret: bool = False,
                             accel: str = "cull"):
@@ -1265,20 +1334,8 @@ def anyhit_reordered_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
     scatter back to pixel order) costs ~10 ms at 2M rays — callers gate
     on scene size. Results are exactly the per-ray results of
     anyhit_pallas (a permutation is semantics-free)."""
-    finite = jnp.isfinite(scene.blk_lo) & jnp.isfinite(scene.blk_hi)
-    lo = jnp.min(jnp.where(finite, scene.blk_lo, F32_INF), axis=0)
-    hi = jnp.max(jnp.where(finite, scene.blk_hi, -F32_INF), axis=0)
-    ext = jnp.maximum(hi - lo, 1e-12)
-
-    def q(p, a):
-        return jnp.clip((p - lo[a]) / ext[a] * 1023.0,
-                        0.0, 1023.0).astype(jnp.uint32)
-
-    keys = ((_expand_bits_jnp(q(ox, 0)) << 2)
-            | (_expand_bits_jnp(q(oy, 1)) << 1)
-            | _expand_bits_jnp(q(oz, 2)))
     # parked rays (origin 1e9) clip to the max cell and group together
-    perm = jnp.argsort(keys)
+    perm = jnp.argsort(_origin_morton(scene, ox, oy, oz))
     packed = jnp.stack([ox, oy, oz, dx, dy, dz,
                         active.astype(jnp.float32)])
     pv = jnp.take(packed, perm, axis=1)  # ONE gather for all planes

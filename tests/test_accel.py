@@ -336,3 +336,51 @@ class TestStreamPack:
                                    rtol=3e-7, atol=1e-7)
         # the reserved origin-term slot must be zero in the static pack
         assert not host[:, 48:56].any()
+
+
+class TestBounceSort:
+    def test_sorted_extend_shadow_matches_unsorted(self, monkeypatch):
+        """The streamed extend+shadow fallback reorders the wavefront by
+        (origin-Morton, direction octant); a permutation is
+        semantics-free, so G-buffer and occlusion must equal the plain
+        unsorted kernels exactly."""
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+
+        cfg, s = terrain_scene(23)
+        uni = CameraUniforms.unflat(uni_for(cfg, 128, 128))
+        dx, dy, dz = raygen_planar(128, 128, uni)
+        r = dx.shape[0]
+        rng = np.random.default_rng(3)
+        # bounce-like wavefront: origins on a slab, random unit dirs,
+        # ~25% parked (zero dirs, far origins)
+        o = np.stack([rng.uniform(-1, 1, r), rng.uniform(-0.5, 0.5, r),
+                      rng.uniform(-3.5, -2.5, r)]).astype(np.float32)
+        d = rng.normal(size=(3, r)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=0, keepdims=True)
+        live = rng.uniform(size=r) > 0.25
+        o = np.where(live, o, 1e9).astype(np.float32)
+        d = np.where(live, d, 0.0).astype(np.float32)
+        sd_ = np.tile(np.array([[0.2], [-0.3], [-0.93]], np.float32),
+                      (1, r))
+        ox, oy, oz = map(jnp.asarray, o)
+        dxx, dyy, dzz = map(jnp.asarray, d)
+        sdx, sdy, sdz = map(jnp.asarray, sd_)
+        act = jnp.asarray(live)
+
+        monkeypatch.setattr(mk, "_should_stream", lambda *a: True)
+        gb_s, occ_s = mk.extend_shadow_pallas(
+            s.data, ox, oy, oz, dxx, dyy, dzz,
+            ox, oy, oz, sdx, sdy, sdz, act, interpret=True)
+        gb_u = mk.gbuffer_perray_pallas(s.data, ox, oy, oz,
+                                        dxx, dyy, dzz, interpret=True)
+        occ_u = mk.anyhit_pallas(s.data, ox, oy, oz, sdx, sdy, sdz,
+                                 act, interpret=True)
+        assert np.asarray(jnp.isfinite(gb_u.t)).any()
+        assert np.asarray(occ_u).any()
+        for name in ("t", "face", "u", "v", "nd", "uvx", "uvy",
+                     "nx", "ny", "nz", "mat"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gb_s, name)),
+                np.asarray(getattr(gb_u, name)), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(occ_s),
+                                      np.asarray(occ_u))
