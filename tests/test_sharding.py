@@ -101,3 +101,41 @@ class TestShardedMegakernel:
         # quantize=False in single; sharded path doesn't quantize either
         np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                    atol=2e-5)
+
+
+class TestShardedStreaming:
+    def test_streamed_scene_row_slabs_match_single(self, monkeypatch):
+        """Multi-chip row-slab sharding composed with the HBM-streaming
+        kernels (double-buffered DMA inside shard_map): force the
+        streaming threshold low so the 1024-face terrain takes the
+        streamed path on 8 virtual devices."""
+        from rust_wgpu_raytracing_tpu.config import (CameraConfig,
+                                                     MeshConfig,
+                                                     RenderConfig,
+                                                     SceneConfig)
+        from rust_wgpu_raytracing_tpu.core.scene import Scene
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+        from rust_wgpu_raytracing_tpu.parallel.tile_sharding import (
+            make_render_mesh, render_sharded_megakernel)
+
+        monkeypatch.setattr(mk, "STREAM_FACES", 512)
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="builtin:terrain:23",
+                               translation=(0.0, 0.0, -3.0)),),
+            camera=CameraConfig(eye=(0.0, -2.0, -1.0),
+                                target=(0.0, 0.0, -3.2)),
+            render=RenderConfig(width=128, height=64))
+        scene = Scene.build(cfg)
+        assert mk._should_stream(scene.data.padded_faces, 32)
+        cam = Camera.from_config(cfg.camera, aspect=2.0)
+        uni = cam.uniforms().flat()
+        mesh = make_render_mesh(8, sp=1)
+        sharded = render_sharded_megakernel(scene.data, uni, mesh,
+                                            width=128, height=64,
+                                            quantize=False)
+        single, _ = mk.render_megakernel(scene.data, jnp.asarray(uni),
+                                         width=128, height=64,
+                                         interpret=True, quantize=False)
+        assert np.isfinite(np.asarray(sharded)).all()
+        np.testing.assert_allclose(np.asarray(sharded),
+                                   np.asarray(single), atol=2e-5)
