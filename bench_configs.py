@@ -67,72 +67,81 @@ def main():
         return jnp.asarray(cam.uniforms().flat())
 
     # 1. cube 256x256 primary-ray brute force
-    w = h = 256
-    cfg = cube_scene(w, h)
-    sd = Scene.build(cfg).data
-    uni = uni_for(cfg, w, h)
-    bench_one("1_cube_256_primary",
-              lambda: render_megakernel(sd, uni, width=w, height=h,
-                                        interpret=interp), w, h)
+    if _want("1"):
+        w = h = 256
+        cfg = cube_scene(w, h)
+        sd = Scene.build(cfg).data
+        uni = uni_for(cfg, w, h)
+        bench_one("1_cube_256_primary",
+                  lambda: render_megakernel(sd, uni, width=w, height=h,
+                                            interpret=interp), w, h)
 
     # 2. suzanne + normal mapping, 512x512, orbit camera
-    w = h = 512
-    cfg = SceneConfig(
-        meshes=(MeshConfig(obj_path="suzanne_lowpoly.obj",
-                           normal_mapping=True),),
-        camera=CameraConfig(eye=(0.0, 0.0, 2.5)),
-        render=RenderConfig(width=w, height=h))
-    sd2 = Scene.build(cfg).data
-    uni2 = uni_for(cfg, w, h)
-    bench_one("2_suzanne_nm_512",
-              lambda: render_megakernel(sd2, uni2, width=w, height=h,
-                                        normal_mapping=True,
-                                        interpret=interp), w, h)
+    if _want("2"):
+        w = h = 512
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="suzanne_lowpoly.obj",
+                               normal_mapping=True),),
+            camera=CameraConfig(eye=(0.0, 0.0, 2.5)),
+            render=RenderConfig(width=w, height=h))
+        sd2 = Scene.build(cfg).data
+        uni2 = uni_for(cfg, w, h)
+        bench_one("2_suzanne_nm_512",
+                  lambda: render_megakernel(sd2, uni2, width=w, height=h,
+                                            normal_mapping=True,
+                                            interpret=interp), w, h)
 
     # 3. cube + suzanne combined, shadows, 1080p
     w, h = 1920, 1080
-    cfg = SceneConfig(
-        meshes=(MeshConfig(obj_path="suzanne_lowpoly.obj"),
-                MeshConfig(obj_path="cube.obj", translation=(0.0, -2.2, 0.0),
-                           scale=1.2)),
-        camera=CameraConfig(eye=(0.0, 0.5, 3.0)),
-        render=RenderConfig(width=w, height=h, shadows=True))
-    sd3 = Scene.build(cfg).data
-    uni3 = uni_for(cfg, w, h)
-    bench_one("3_combined_1080p_shadows",
-              lambda: render_megakernel(sd3, uni3, width=w, height=h,
-                                        shadows=True, interpret=interp),
-              w, h, rays_factor=2.0)
+    if _want("3"):
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="suzanne_lowpoly.obj"),
+                    MeshConfig(obj_path="cube.obj",
+                               translation=(0.0, -2.2, 0.0),
+                               scale=1.2)),
+            camera=CameraConfig(eye=(0.0, 0.5, 3.0)),
+            render=RenderConfig(width=w, height=h, shadows=True))
+        sd3 = Scene.build(cfg).data
+        uni3 = uni_for(cfg, w, h)
+        bench_one("3_combined_1080p_shadows",
+                  lambda: render_megakernel(sd3, uni3, width=w, height=h,
+                                            shadows=True,
+                                            interpret=interp),
+                  w, h, rays_factor=2.0)
 
     # 3b. DENSE-view suzanne + shadows (VERDICT r1 weak #4: the sparse
     # headline view is mostly a measurement of the culler; this one
     # fills the frame — hit_frac ~0.86 — for an honest Mrays/s figure)
-    w, h = 1920, 1080
-    cfg = reference_scene(w, h, shadows=True)
-    cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 0.9)))
-    sd3b = Scene.build(cfg).data
-    uni3b = uni_for(cfg, w, h)
-    bench_one("3b_dense_suzanne_1080p_shadows",
-              lambda: render_megakernel(sd3b, uni3b, width=w, height=h,
-                                        shadows=True, interpret=interp),
-              w, h, rays_factor=2.0)
+    if _want("3"):
+        cfg = reference_scene(w, h, shadows=True)
+        cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 0.9)))
+        sd3b = Scene.build(cfg).data
+        uni3b = uni_for(cfg, w, h)
+        bench_one("3b_dense_suzanne_1080p_shadows",
+                  lambda: render_megakernel(sd3b, uni3b, width=w,
+                                            height=h, shadows=True,
+                                            interpret=interp),
+                  w, h, rays_factor=2.0)
 
-    # 4. path-traced suzanne, 4 bounces, 1080p (per 1-spp progressive frame)
-    w, h = 1920, 1080
-    cfg = reference_scene(w, h)
-    cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
-    sd4 = Scene.build(cfg).data
-    uni4 = uni_for(cfg, w, h)
-    key = jax.random.PRNGKey(0)
-    bench_one("4_pathtrace_1080p_4bounce_1spp",
-              lambda: render_pathtrace(sd4, uni4, key, width=w, height=h,
-                                       bounces=4, spp=1, interpret=interp),
-              w, h, rays_factor=10.0)  # ~5 segments + 5 shadow rays
+    # 4. path-traced suzanne, 4 bounces, 1080p (per 1-spp frame)
+    if _want("4"):
+        cfg = reference_scene(w, h)
+        cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
+        sd4 = Scene.build(cfg).data
+        uni4 = uni_for(cfg, w, h)
+        key = jax.random.PRNGKey(0)
+        bench_one("4_pathtrace_1080p_4bounce_1spp",
+                  lambda: render_pathtrace(sd4, uni4, key, width=w,
+                                           height=h, bounces=4, spp=1,
+                                           interpret=interp),
+                  w, h, rays_factor=10.0)  # ~5 segments + 5 shadows
 
     # 5. 64-instance suzanne field with per-frame refit (stretch: 4K)
-    inst = InstancedScene.from_config(
+    inst = (InstancedScene.from_config(
         MeshConfig(obj_path="suzanne_lowpoly.obj"), 64)
-    for w, h, tag in ((3840, 2160, "4k"), (1920, 1080, "1080p")):
+        if _want("5") else None)
+    for w, h, tag in (((3840, 2160, "4k"), (1920, 1080, "1080p"))
+                      if _want("5") else ()):
         cfg5 = SceneConfig(camera=CameraConfig(eye=(0.0, 0.0, 18.0)),
                            render=RenderConfig(width=w, height=h))
         uni5 = uni_for(cfg5, w, h)

@@ -537,10 +537,9 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
     f = scene.tri_p0.shape[0]
     if _should_stream(f, min(block_f, f)):
         perm = _bounce_sort_perm(scene, ox, oy, oz, dx, dy, dz)
-        packed = jnp.stack([ox, oy, oz, dx, dy, dz,
-                            sox, soy, soz, sdx, sdy, sdz,
-                            active.astype(jnp.float32)])
-        pv = jnp.take(packed, perm, axis=1)  # ONE gather, all planes
+        pv = _permute_planes([ox, oy, oz, dx, dy, dz,
+                              sox, soy, soz, sdx, sdy, sdz,
+                              active.astype(jnp.float32)], perm)
         gb = gbuffer_perray_pallas(scene, pv[0], pv[1], pv[2],
                                    pv[3], pv[4], pv[5],
                                    tile_r=tile_r, block_f=block_f,
@@ -552,10 +551,10 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
         # inverse-permute: ONE scatter for the f32 planes (face rides
         # along bitcast — mixed-dtype stacks are not a thing)
         face_f = jax.lax.bitcast_convert_type(gb.face, jnp.float32)
-        outs = jnp.stack([gb.t, face_f, gb.u, gb.v, gb.nd, gb.uvx,
-                          gb.uvy, gb.nx, gb.ny, gb.nz, gb.mat,
-                          occ.astype(jnp.float32)])
-        unsorted = jnp.zeros_like(outs).at[:, perm].set(outs)
+        unsorted = _unpermute_planes(
+            jnp.stack([gb.t, face_f, gb.u, gb.v, gb.nd, gb.uvx,
+                       gb.uvy, gb.nx, gb.ny, gb.nz, gb.mat,
+                       occ.astype(jnp.float32)]), perm)
         gb = GBuffer(
             t=unsorted[0],
             face=jax.lax.bitcast_convert_type(unsorted[1], jnp.int32),
@@ -1295,6 +1294,17 @@ def _origin_morton(scene: SceneData, ox, oy, oz):
             | _expand_bits_jnp(q(oz, 2)))
 
 
+def _permute_planes(planes, perm):
+    """Apply one permutation to many (R,) planes with a SINGLE gather
+    (stack first — gathers cost per index, not per payload row)."""
+    return jnp.take(jnp.stack(planes), perm, axis=1)
+
+
+def _unpermute_planes(stacked, perm):
+    """Inverse of _permute_planes: one scatter back to ray order."""
+    return jnp.zeros_like(stacked).at[:, perm].set(stacked)
+
+
 def _bounce_sort_perm(scene: SceneData, ox, oy, oz, dx, dy, dz):
     """(R,) permutation re-tiling an INCOHERENT bounce wavefront for the
     interval cull: origin-Morton cell with the direction OCTANT spliced
@@ -1305,7 +1315,10 @@ def _bounce_sort_perm(scene: SceneData, ox, oy, oz, dx, dy, dz):
     direction sign octant bounds every tile's cone to a quadrant while
     keeping origins compact: both the extension closest-hit and the
     NEE shadow rays (same origins) can share this one permutation."""
-    m = _origin_morton(scene, ox, oy, oz)
+    # drop the lowest Morton bit so 29 origin bits + 3 octant bits fit
+    # uint32 exactly — a 30+3-bit key silently wraps and aliases
+    # origins from opposite x-halves of the scene into one sort bucket
+    m = _origin_morton(scene, ox, oy, oz) >> 1
     octant = (((dx < 0.0).astype(jnp.uint32) << 2)
               | ((dy < 0.0).astype(jnp.uint32) << 1)
               | (dz < 0.0).astype(jnp.uint32))
@@ -1313,7 +1326,7 @@ def _bounce_sort_perm(scene: SceneData, ox, oy, oz, dx, dy, dz):
     # axis, which is what bounds the t-interval; finer direction bins
     # (tried: +dominant axis) fragment origin locality for no interval
     # payoff and measured slightly slower
-    key = ((m >> 15) << 18) | (octant << 15) | (m & jnp.uint32(0x7FFF))
+    key = ((m >> 14) << 17) | (octant << 14) | (m & jnp.uint32(0x3FFF))
     return jnp.argsort(key)
 
 
@@ -1336,9 +1349,8 @@ def anyhit_reordered_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
     anyhit_pallas (a permutation is semantics-free)."""
     # parked rays (origin 1e9) clip to the max cell and group together
     perm = jnp.argsort(_origin_morton(scene, ox, oy, oz))
-    packed = jnp.stack([ox, oy, oz, dx, dy, dz,
-                        active.astype(jnp.float32)])
-    pv = jnp.take(packed, perm, axis=1)  # ONE gather for all planes
+    pv = _permute_planes([ox, oy, oz, dx, dy, dz,
+                          active.astype(jnp.float32)], perm)
     occ = anyhit_pallas(scene, pv[0], pv[1], pv[2], pv[3], pv[4], pv[5],
                         pv[6] > 0.0, interpret=interpret, accel=accel)
     return jnp.zeros_like(active).at[perm].set(occ)

@@ -103,6 +103,7 @@ class TestShardedMegakernel:
                                    atol=2e-5)
 
 
+@needs_8dev
 class TestShardedStreaming:
     def test_streamed_scene_row_slabs_match_single(self, monkeypatch):
         """Multi-chip row-slab sharding composed with the HBM-streaming
