@@ -59,6 +59,16 @@ def golden_configs():
     ref = reference_scene(160, 160)
     out["reference_scene"] = dc.replace(
         ref, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
+
+    # procedural terrain under the low sun (the round-2 large-scene
+    # family at CI scale): pins cast-shadow semantics — including the
+    # exactness of the shadow-relevance gate — against the oracle
+    out["terrain_shadows"] = SceneConfig(
+        meshes=(MeshConfig(obj_path="builtin:terrain:23",
+                           translation=(0.0, 0.0, -3.0),
+                           light_direction=(6.0, -1.0, 1.0)),),
+        camera=CameraConfig(eye=(0.0, -2.0, -1.0), target=(0.0, 0.0, -3.2)),
+        render=RenderConfig(width=160, height=160, shadows=True))
     return out
 
 
