@@ -25,6 +25,9 @@ def main():
                     help="tiny sizes for CPU/interpret runs")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (interpret-mode kernels)")
+    ap.add_argument("--window", action="store_true",
+                    help="open the interactive desktop window (needs a "
+                         "display; WASD/arrows orbit, close to continue)")
     ap.add_argument("--out", default="out")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -58,6 +61,15 @@ def main():
     color, _ = r.render(block=True)
     save("1_reference_scene.png", color)
     print(f"   frame (incl. one sync round trip): {r.last_frame_ms:.1f} ms")
+
+    if args.window:
+        # interactive desktop shell (the winit-window analogue); on a
+        # headless host fall back to the HTTP shell instructions
+        from rust_wgpu_raytracing_tpu.runtime.window import Window
+        try:
+            Window(r).run()
+        except RuntimeError as err:
+            print(f"   ({err})")
 
     # 2. normal mapping on the bump-mapped cube
     cfg = SceneConfig(
