@@ -213,6 +213,28 @@ def main():
                                             interpret=interp),
                   w, h, n=3, rays_factor=2.0)
 
+    # 8. path tracing at streaming scale (round 2): only usable since
+    # the bounce wavefront is (origin, direction-octant) binned —
+    # unsorted hemisphere-sampled tiles defeat interval culling
+    # entirely (measured 18.7 s/spp; binned: ~3.3 s/spp).
+    if _want("8"):
+        w8, h8 = 960, 540
+        cfg8 = SceneConfig(
+            meshes=(MeshConfig(obj_path="builtin:terrain:512",
+                               translation=(0.0, 0.0, -3.0),
+                               light_direction=(6.0, -1.0, 1.0)),),
+            camera=CameraConfig(eye=(0.0, -0.4, -1.2),
+                                target=(0.0, 0.0, -3.0)),
+            render=RenderConfig(width=w8, height=h8))
+        sd8 = Scene.build(cfg8).data
+        uni8 = uni_for(cfg8, w8, h8)
+        key8 = jax.random.PRNGKey(0)
+        bench_one("8_pt_terrain522k_540p_3bounce_1spp",
+                  lambda: render_pathtrace(sd8, uni8, key8, width=w8,
+                                           height=h8, bounces=3, spp=1,
+                                           interpret=interp),
+                  w8, h8, n=2, rays_factor=8.0)
+
 
 if __name__ == "__main__":
     main()
