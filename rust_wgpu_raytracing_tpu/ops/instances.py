@@ -39,7 +39,11 @@ class InstancedScene:
     base_vn3: jax.Array  # (Fb,3,3)
     base_mat: jax.Array  # (Fb,) i32
     base_valid: jax.Array  # (Fb,)
+    base_tan: jax.Array  # (Fb,3) per-face tangent, OUR padding (the
+    base_bit: jax.Array  # template's arrays are FACE_PAD-padded and
+    #                      diverge once the soup superblock-aligns)
     n_instances: int
+    fb_real: int  # real (unpadded) faces per instance
 
     @staticmethod
     def from_config(mesh_cfg, n_instances: int) -> "InstancedScene":
@@ -51,16 +55,38 @@ class InstancedScene:
             meshes = [make_cube()]
         else:
             meshes, _ = load_obj(resolve_asset(mesh_cfg.obj_path))
-        m = meshes[0]
-        pos = (m.positions * np.float32(mesh_cfg.scale)
-               + np.asarray(mesh_cfg.translation, np.float32))
-        faces = m.faces
+        # concatenate ALL OBJ groups with their material ids (matching
+        # Scene.build's soup — a multi-group model must not silently
+        # lose every group but the first)
+        pos_l, uv_l, nrm_l, faces_l, fmat_l = [], [], [], [], []
+        off = 0
+        for m in meshes:
+            p = (m.positions * np.float32(mesh_cfg.scale)
+                 + np.asarray(mesh_cfg.translation, np.float32))
+            pos_l.append(p)
+            uv_l.append(m.uvs)
+            nrm_l.append(m.normals)
+            faces_l.append(m.faces + off)
+            fmat_l.append(np.full((m.faces.shape[0],), m.material_id,
+                                  np.int32))
+            off += p.shape[0]
+        pos = np.concatenate(pos_l).astype(np.float32)
+        uvs = np.concatenate(uv_l).astype(np.float32)
+        nrms = np.concatenate(nrm_l).astype(np.float32)
+        faces = np.concatenate(faces_l).astype(np.int32)
+        face_mat = np.concatenate(fmat_l)
 
         # Morton-sort ONCE on the base mesh
         from .bvh import morton_order
         order = morton_order(pos[faces[:, 0]], pos[faces[:, 1]],
                              pos[faces[:, 2]])
         faces = faces[order]
+        face_mat = face_mat[order]
+
+        # per-face tangent frames at OUR padding (normal mapping)
+        from ..core.scene import _pad_rows, _precompute_faces
+        (_, _, _, _, _, _, _, _, tangent,
+         bitangent) = _precompute_faces(pos, uvs, nrms, faces)
 
         fb_real = faces.shape[0]
         fb = -(-fb_real // FACE_PAD) * FACE_PAD
@@ -74,8 +100,8 @@ class InstancedScene:
         valid = np.concatenate(
             [np.ones(fb_real, np.float32), np.zeros(pad, np.float32)])
 
-        uv3 = m.uvs[faces_p]
-        vn3 = m.normals[faces_p]
+        uv3 = uvs[faces_p]
+        vn3 = nrms[faces_p]
 
         # template SceneData: build a single-instance Scene for the
         # shared material/texture arrays, then tile to N instances
@@ -89,9 +115,12 @@ class InstancedScene:
             base_faces=jnp.asarray(faces_p),
             base_uv3=jnp.asarray(uv3.astype(np.float32)),
             base_vn3=jnp.asarray(vn3.astype(np.float32)),
-            base_mat=jnp.full((fb,), 0, jnp.int32),
+            base_mat=jnp.asarray(_pad_rows(face_mat, fb)),
             base_valid=jnp.asarray(valid),
+            base_tan=jnp.asarray(_pad_rows(tangent, fb)),
+            base_bit=jnp.asarray(_pad_rows(bitangent, fb)),
             n_instances=n_instances,
+            fb_real=fb_real,
         )
         return inst
 
@@ -105,12 +134,14 @@ class InstancedScene:
         return _instantiate_jit(
             self.template, self.base_pos, self.base_faces, self.base_uv3,
             self.base_vn3, self.base_mat, self.base_valid,
-            self.n_instances, t)
+            self.base_tan, self.base_bit, self.n_instances,
+            self.fb_real, t)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(jax.jit, static_argnames=("n", "fb_real"))
 def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
-                     base_mat, base_valid, n, t) -> SceneData:
+                     base_mat, base_valid, base_tan, base_bit, n,
+                     fb_real, t) -> SceneData:
         fb = base_faces.shape[0]
 
         # transformed vertices per instance: (N, V, 3)
@@ -155,8 +186,9 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             seg(jnp.where(valid[:, None] > 0, p1, -jnp.inf), jnp.max)),
             seg(jnp.where(valid[:, None] > 0, p2, -jnp.inf), jnp.max))
 
-        # rotate tangent frames (template face order == our Morton order:
-        # both sorts run the same stable algorithm on the same faces)
+        # rotate the per-face tangent frames (built at OUR padding in
+        # from_config — the template's arrays diverge once the soup
+        # superblock-aligns past STREAM_FACES)
         def rot_dirs(vecs):
             out = jnp.einsum("nij,fj->nfi", t[:, :, :3], vecs,
                              precision=jax.lax.Precision.HIGHEST)
@@ -167,8 +199,8 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
         orig = jnp.arange(nf, dtype=jnp.int32)
         return dataclasses.replace(
             template,
-            tri_tangent=rot_dirs(template.tri_tangent),
-            tri_bitangent=rot_dirs(template.tri_bitangent),
+            tri_tangent=rot_dirs(base_tan),
+            tri_bitangent=rot_dirs(base_bit),
             tri_p0=p0,
             tri_n=nrm,
             tri_d=d * valid,
@@ -191,7 +223,10 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             # (accel="bvh" only needs the refit blk_lo/hi, so the
             # hierarchical cull still applies)
             bvh_nodes=0,
-            num_faces=int(nf),
+            # COUNT of real faces (padding is interleaved per instance,
+            # so unlike Scene.build this is not a prefix length;
+            # tri_valid carries per-face truth)
+            num_faces=int(n * fb_real),
         )
 
 

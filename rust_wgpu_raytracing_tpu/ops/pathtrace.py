@@ -43,7 +43,7 @@ from .megakernel import (anyhit_pallas, anyhit_reordered_pallas,
                          extend_shadow_pallas, gbuffer_pallas,
                          _mat_const, _should_stream,
                          _spheres_occlude_planar, BLOCK_F,
-                         sample_packed_texture, sample_packed_texture_nearest,
+                         sample_packed_texture,
                          sphere_pass_planar, tiled_to_image)
 from .raygen import ndc_grid
 
@@ -113,7 +113,7 @@ def _cosine_sample(nx, ny, nz, key):
     return dx, dy, dz
 
 
-def _closest_surface(scene: SceneData, gb_hit, gb, sph):
+def _closest_surface(gb_hit, gb, sph):
     """Merge mesh G-buffer and sphere hits into winner planes.
 
     sph: list of per-sphere (t, hit, nx, ny, nz). Returns dict of winner
@@ -140,10 +140,13 @@ def _closest_surface(scene: SceneData, gb_hit, gb, sph):
     "width", "height", "bounces", "spp", "background", "interpret"))
 def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
                      height: int, bounces: int = 4, spp: int = 1,
-                     background=(0.0, 0.0, 0.0), interpret: bool = False):
+                     background=(0.0, 0.0, 0.0), interpret: bool = False,
+                     accum=None):
     """Trace `spp` full paths per pixel; returns the SUM of radiance
     (H, W, 3) — caller divides by total accumulated spp (progressive
-    accumulation lives in the Renderer)."""
+    accumulation lives in the Renderer). accum (optional, (H, W, 3)):
+    running radiance sum folded into the SAME jit — a separate eager
+    add costs a ~3 ms dispatch per frame on tunneled backends."""
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     r = width * height
     has_mesh = scene.num_faces > 0
@@ -182,8 +185,8 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
             if gb is not None:
                 gb_hit = jnp.isfinite(gb.t) & active
                 t, nx, ny, nz, is_mesh = _closest_surface(
-                    scene, gb_hit, gb, [(ts, hs & active, sx, sy, sz)
-                                        for ts, hs, sx, sy, sz in sph])
+                    gb_hit, gb, [(ts, hs & active, sx, sy, sz)
+                                 for ts, hs, sx, sy, sz in sph])
             else:
                 t = jnp.full((r,), F32_INF)
                 nx = ny = nz = jnp.zeros((r,))
@@ -307,6 +310,8 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
         color = jnp.stack(
             [acc_r.reshape(height, width), acc_g.reshape(height, width),
              acc_b.reshape(height, width)], axis=-1)
+    if accum is not None:
+        color = color + accum
     return color
 
 

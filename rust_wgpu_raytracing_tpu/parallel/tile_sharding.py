@@ -114,9 +114,12 @@ def render_sharded(scene: SceneData, uni_flat, mesh: Mesh, *, width: int,
         row0 = (dpi * rows).astype(jnp.float32)
 
         def sample(s, acc):
-            k = jax.random.fold_in(jax.random.PRNGKey(seed),
-                                   spi * 131 + s)
-            jit_xy = (jax.random.uniform(k, (2,)) - 0.5) * (2.0 / width)
+            # fold twice: spi*K + s collides across sp ranks once
+            # spp exceeds K, duplicating jitter samples
+            k = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(seed), spi), s)
+            jit_xy = (jax.random.uniform(k, (2,)) - 0.5) * jnp.asarray(
+                [2.0 / width, 2.0 / height], jnp.float32)
             jit_xy = jnp.where(spp * sp == 1, jnp.zeros(2), jit_xy)
             c, _ = _render_rows(scene_rep, uni_rep, width, height, row0,
                                 rows, jitter=jit_xy)
@@ -203,7 +206,8 @@ def make_train_step(scene: SceneData, mesh: Mesh, *, width: int, height: int,
 
     def loss_local(params, scene_rep, uni_rep, target_rows, row0, key):
         sc = _apply_params(scene_rep, params)
-        jit_xy = (jax.random.uniform(key, (2,)) - 0.5) * (2.0 / width)
+        jit_xy = (jax.random.uniform(key, (2,)) - 0.5) * jnp.asarray(
+            [2.0 / width, 2.0 / height], jnp.float32)
         c, _ = _render_rows(sc, uni_rep, width, height, row0, rows,
                             jitter=jit_xy)
         return jnp.mean((c - target_rows) ** 2)
@@ -255,7 +259,9 @@ def dryrun_multichip(n_devices: int) -> None:
     dp = mesh.shape["dp"]
 
     W = 64
-    H = max(16, dp * 4)
+    # rows per device must divide evenly: dp*4 < 16 only pads UP in
+    # dp-sized steps (H = 16 with dp = 3 fails the height % dp assert)
+    H = dp * max(4, -(-16 // dp))
     cfg = SceneConfig(
         spheres=(SphereConfig(center=(0.5, 0.2, -3.0), radius=0.6),),
         meshes=(MeshConfig(obj_path="builtin:cube", translation=(-0.6, 0.0, -3.0),

@@ -70,24 +70,26 @@ class Renderer:
                 import jax.numpy as jnp
 
                 depth = jnp.ones((self.height, self.width), jnp.float32)
-                if self._accum is not None and self._spp_done >= rc.pt_spp:
+                # pt_spp <= 0 means UNBOUNDED progressive accumulation
+                # (guards the 0/0 NaN frame a literal target of 0 gave)
+                target = rc.pt_spp if rc.pt_spp > 0 else None
+                if self._accum is not None and target is not None \
+                        and self._spp_done >= target:
                     # converged: pt_spp is a TARGET — once reached, frames
                     # re-present the finished accumulation (no more samples)
                     return self._accum / self._spp_done, depth
                 key = jax.random.fold_in(
                     jax.random.PRNGKey(rc.seed), self._spp_done)
-                spp = min(rc.pt_spp - self._spp_done, 1)
+                spp = 1 if target is None else min(target - self._spp_done, 1)
                 # the path tracer always runs the Pallas kernels; off-TPU
                 # they execute in interpret mode
-                c = render_pathtrace(
+                # accumulation rides inside the render jit (a separate
+                # eager add costs a ~3 ms dispatch on tunneled backends)
+                self._accum = render_pathtrace(
                     scene, uni, key, width=self.width, height=self.height,
                     bounces=rc.pt_bounces, spp=spp,
                     background=tuple(self.config.background),
-                    interpret=interactive_interpret)
-                if self._accum is None:
-                    self._accum = c
-                else:
-                    self._accum = self._accum + c
+                    interpret=interactive_interpret, accum=self._accum)
                 self._spp_done += spp
                 color = self._accum / self._spp_done
                 return color, depth

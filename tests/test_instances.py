@@ -22,7 +22,9 @@ class TestInstancedScene:
         f = sd.tri_p0.shape[0]
         assert f == 4 * inst.base_faces.shape[0]
         assert sd.blk_lo.shape[0] == f // CULL_BLOCK
-        assert sd.num_faces == f
+        # num_faces counts REAL faces (padding is interleaved per
+        # instance, so it is a count, not a prefix length)
+        assert sd.num_faces == 4 * inst.fb_real
 
     def test_identity_instance_matches_base(self):
         inst = build(1)
@@ -72,3 +74,52 @@ class TestInstancedScene:
         # the 3x3 field is visible (small: the proj-inv quirk widens the
         # effective FOV to ~99 degrees, shrinking on-screen size)
         assert hits > 0.01
+
+
+class TestLargeAndMultiGroup:
+    def test_superblock_aligned_instances_render(self):
+        """Regression: past STREAM_FACES the per-instance padding
+        superblock-aligns, but tangent frames were rotated from the
+        FACE_PAD-padded TEMPLATE — mismatched array lengths crashed
+        pack_face_columns on the first render. 20 instances x 1024
+        padded faces > 16384 exercises that branch end to end."""
+        import jax.numpy as jnp
+
+        from rust_wgpu_raytracing_tpu.config import CameraConfig, MeshConfig
+        from rust_wgpu_raytracing_tpu.core.camera import Camera
+        from rust_wgpu_raytracing_tpu.ops import instances as inst_mod
+        from rust_wgpu_raytracing_tpu.ops.megakernel import render_megakernel
+
+        # force the superblock-alignment branch at test scale
+        import unittest.mock as mock
+        with mock.patch.object(inst_mod, "STREAM_FACES", 100):
+            inst = inst_mod.InstancedScene.from_config(
+                MeshConfig(obj_path="builtin:cube"), 4)
+        sd = inst.instantiate(grid_transforms(4, spacing=2.0, z=-8.0))
+        assert sd.padded_faces == 4 * 1024  # superblock branch taken
+        assert sd.tri_tangent.shape[0] == sd.padded_faces
+        assert sd.num_faces == 4 * inst.fb_real
+        cam = Camera.from_config(CameraConfig(eye=(0.0, 0.0, 8.0)),
+                                 aspect=1.0)
+        c, _ = render_megakernel(sd, jnp.asarray(cam.uniforms().flat()),
+                                 width=64, height=64, interpret=True)
+        assert np.isfinite(np.asarray(c)).all()
+        assert np.asarray(c).max() > 0.0
+
+    def test_multi_group_obj_keeps_all_groups(self):
+        """Regression: from_config used meshes[0] only, silently
+        dropping every other OBJ group and hardcoding material 0."""
+        from rust_wgpu_raytracing_tpu.config import MeshConfig
+        from rust_wgpu_raytracing_tpu.core.scene import Scene
+        from rust_wgpu_raytracing_tpu.config import SceneConfig, RenderConfig
+        from rust_wgpu_raytracing_tpu.ops.instances import InstancedScene
+
+        try:
+            inst = InstancedScene.from_config(
+                MeshConfig(obj_path="cube.obj"), 2)
+        except FileNotFoundError:
+            pytest.skip("cube.obj asset not available")
+        ref = Scene.build(SceneConfig(
+            meshes=(MeshConfig(obj_path="cube.obj"),),
+            render=RenderConfig(width=8, height=8)))
+        assert inst.fb_real == ref.data.num_faces
