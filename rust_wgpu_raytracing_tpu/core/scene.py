@@ -127,11 +127,14 @@ class SceneData:
     blk_lo: jax.Array  # (F/CULL_BLOCK, 3) f32 cluster AABB min
     blk_hi: jax.Array  # (F/CULL_BLOCK, 3) f32 cluster AABB max
     # LBVH over REAL cluster leaves, DFS-linearized with skip pointers
-    # for stackless traversal (ops/bvh.py:linearize_bvh, walked by
-    # ops/traverse.py). (9, 2n-1) f32; bvh_nodes == 0 means "no valid
-    # tree" (meshless scenes, or instanced scenes after a device-side
-    # refit moved geometry out from under the host-built topology) and
-    # accel="bvh" falls back to the flat cull mask.
+    # (ops/bvh.py:linearize_bvh; the deep stackless walk lives in
+    # ops/traverse.py and is exercised by tests). NOTE: the RENDER
+    # path's accel="bvh" (ops/traverse_pallas.py) derives its 2-level
+    # hierarchy from blk_lo/blk_hi directly and never reads this pack
+    # or bvh_nodes — device-refit instanced scenes therefore get
+    # hierarchical culling even with bvh_nodes == 0 ("no valid tree":
+    # meshless scenes, or geometry moved out from under the host-built
+    # topology).
     bvh_pack: jax.Array  # (9, M) f32
 
     # --- materials ---
@@ -167,10 +170,10 @@ class SceneData:
     # run ~2.2x slower). Per-material base/size planes resolve addressing.
     tex_packed: jax.Array  # (12, Nd) u16 diffuse pool, linear fixed-point
     tex_packed_bump: jax.Array  # (12, Nb) u16 bump pool (raw values)
-    mat_tex_base: jax.Array  # (M,) f32 texel offset of the diffuse map
+    mat_tex_base: jax.Array  # (M,) i32 texel offset of the diffuse map
     mat_tex_h: jax.Array  # (M,) f32
     mat_tex_w: jax.Array  # (M,) f32
-    mat_bump_base: jax.Array  # (M,) f32 (-1 = no bump map)
+    mat_bump_base: jax.Array  # (M,) i32 (-1 = no bump map)
     mat_bump_h: jax.Array  # (M,) f32
     mat_bump_w: jax.Array  # (M,) f32
 
@@ -413,21 +416,36 @@ class Scene:
             spack_np = np.zeros((0, STREAM_COLS), np.float32)
 
         # ---- textures (diffuse sRGB-decoded; bump maps raw) ----
+        # deduplicated by (resolved path, srgb): real assets routinely
+        # share one map across materials, and duplicate copies bloat
+        # both the f32 stack and the u16 packed pools (pools past the
+        # ~16 MB gather threshold cost ~2.2x per sample, and past 2^24
+        # texels base offsets would stop being exact)
         textures: List[TextureData] = []
+        tex_cache: dict = {}
         mat_tex: List[int] = []
         mat_bump: List[int] = []
+
+        def tex_id(key, loader):
+            if key not in tex_cache:
+                tex_cache[key] = len(textures)
+                textures.append(loader())
+            return tex_cache[key]
+
         for mat in materials:
             if mat.map_kd:
-                tex = load_texture_file(resolve_asset(mat.map_kd))
+                path = resolve_asset(mat.map_kd)
+                mat_tex.append(tex_id((path, True),
+                                      lambda p=path: load_texture_file(p)))
             else:
-                tex = solid_texture((1.0, 1.0, 1.0))
-            mat_tex.append(len(textures))
-            textures.append(tex)
+                mat_tex.append(tex_id(("__solid_white__", True),
+                                      lambda: solid_texture((1.0,) * 3)))
         for mat in materials:
             if mat.map_bump:
-                mat_bump.append(len(textures))
-                textures.append(load_texture_file(
-                    resolve_asset(mat.map_bump), srgb=False))
+                path = resolve_asset(mat.map_bump)
+                mat_bump.append(tex_id(
+                    (path, False),
+                    lambda p=path: load_texture_file(p, srgb=False)))
             else:
                 mat_bump.append(-1)
         th = max(t.height for t in textures)
@@ -470,12 +488,14 @@ class Scene:
         pool_d, base_d = build_pool(diffuse_ids)
         pool_b, base_b = build_pool(bump_ids)
 
-        m_tex_base = np.array([base_d[t] for t in mat_tex], np.float32)
+        # i32 base offsets: exact at any pool size (f32 loses integers
+        # past 2^24 texels — see ops/megakernel.py _mat_const)
+        m_tex_base = np.array([base_d[t] for t in mat_tex], np.int32)
         m_tex_h = np.array([textures[t].height for t in mat_tex], np.float32)
         m_tex_w = np.array([textures[t].width for t in mat_tex], np.float32)
         m_bump_base = np.array(
-            [base_b.get(b, -1.0) if b >= 0 else -1.0 for b in mat_bump],
-            np.float32)
+            [base_b.get(b, -1) if b >= 0 else -1 for b in mat_bump],
+            np.int32)
         m_bump_h = np.array(
             [textures[b].height if b >= 0 else 1 for b in mat_bump],
             np.float32)

@@ -548,16 +548,18 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
                             pv[9], pv[10], pv[11], pv[12] > 0.0,
                             tile_r=tile_r, block_f=block_f,
                             interpret=interpret, accel=accel)
-        # inverse-permute: ONE scatter for the f32 planes (face rides
-        # along bitcast — mixed-dtype stacks are not a thing)
-        face_f = jax.lax.bitcast_convert_type(gb.face, jnp.float32)
+        # inverse-permute: ONE scatter for the f32 planes. Face ids ride
+        # as f32 VALUES (exact below 2^24, far above any face count) —
+        # a bitcast would turn small ids into subnormal bit patterns a
+        # flush-to-zero lowering could silently destroy.
+        face_f = gb.face.astype(jnp.float32)
         unsorted = _unpermute_planes(
             jnp.stack([gb.t, face_f, gb.u, gb.v, gb.nd, gb.uvx,
                        gb.uvy, gb.nx, gb.ny, gb.nz, gb.mat,
                        occ.astype(jnp.float32)]), perm)
         gb = GBuffer(
             t=unsorted[0],
-            face=jax.lax.bitcast_convert_type(unsorted[1], jnp.int32),
+            face=unsorted[1].astype(jnp.int32),
             u=unsorted[2], v=unsorted[3], nd=unsorted[4],
             uvx=unsorted[5], uvy=unsorted[6], nx=unsorted[7],
             ny=unsorted[8], nz=unsorted[9], mat=unsorted[10])
@@ -656,13 +658,6 @@ def _pack_mask_bits(mask):
     # FLATTENED to 1-D: SMEM pads the last dim of 2-D scalar arrays to
     # 128 lanes (4 MB for an 8100x8 mask) — 1-D stays compact.
     return words.astype(jnp.int32).reshape(-1), nw
-
-
-def _mask_bit(mask_ref, nwords, i, jj):
-    """Extract cluster jj's activity bit for tile i from the packed 1-D
-    bitfield (in-kernel, SMEM scalar reads)."""
-    word = mask_ref[i * nwords + jj // 32]
-    return (word >> (jj % 32)) & 1
 
 
 def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None,
@@ -1635,29 +1630,14 @@ def sample_packed_texture(pool, base, hw_h, hw_w, u, v,
     return _texfilter_pallas(taps, fx, fy, interpret=interpret)
 
 
-def sample_packed_texture_nearest(pool, base, hw_h, hw_w, u, v):
-    """ONE 3-row gather, nearest texel, no filter kernel.
-
-    Used for INDIRECT-bounce albedo in the path tracer: after the
-    cosine-weighted hemisphere integration, bilinear filtering of the
-    bounce albedo is visually invisible but costs a 4x bigger gather
-    payload (12 vs 3 u16 rows, ~6 ms vs ~1.5 ms at 1080p) plus the
-    filter kernel. Primary-visibility shading stays bilinear."""
-    x = jnp.clip(jnp.floor(u * hw_w), 0.0, hw_w - 1.0).astype(jnp.int32)
-    y = jnp.clip(jnp.floor(v * hw_h), 0.0, hw_h - 1.0).astype(jnp.int32)
-    flat = base.astype(jnp.int32) + y * hw_w.astype(jnp.int32) + x
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(0,), collapsed_slice_dims=(1,), start_index_map=(1,))
-    taps = jax.lax.gather(pool, flat[:, None], dn, slice_sizes=(3, 1),
-                          mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    rgb = taps.astype(jnp.float32) * (1.0 / 65535.0)
-    return rgb[0], rgb[1], rgb[2]
-
-
 def _mat_const(scene: SceneData, mat_f32, getter):
-    """Resolve a per-material constant via an M-way select (no gather)."""
+    """Resolve a per-material constant via an M-way select (no gather).
+    Preserves the constant's dtype: texel BASE OFFSETS are i32 — an f32
+    plane loses integer precision past 2^24 texels and would misaddress
+    every sample of a texture deep in a large packed pool."""
     m = scene.mat_ambient.shape[0]
-    out = getter(0) * jnp.ones_like(mat_f32)
+    c0 = getter(0)
+    out = jnp.broadcast_to(c0, mat_f32.shape).astype(jnp.asarray(c0).dtype)
     for k in range(1, m):
         out = jnp.where(mat_f32 == float(k), getter(k), out)
     return out
@@ -1807,11 +1787,11 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
             # tangent-space perturbation from map_Bump
             bump_base = _mat_const(scene, gb.mat,
                                    lambda k: scene.mat_bump_base[k])
-            has_bump = bump_base >= 0.0
+            has_bump = bump_base >= 0
             b_h = _mat_const(scene, gb.mat, lambda k: scene.mat_bump_h[k])
             b_w = _mat_const(scene, gb.mat, lambda k: scene.mat_bump_w[k])
             br, bg_, bb_ = sample_packed_texture(
-                scene.tex_packed_bump, jnp.maximum(bump_base, 0.0),
+                scene.tex_packed_bump, jnp.maximum(bump_base, 0),
                 b_h, b_w, tex_u, tex_v, interpret=interpret)
             ntx, nty, ntz = 2.0 * br - 1.0, 2.0 * bg_ - 1.0, 2.0 * bb_ - 1.0
             frame_ok = gb.tx ** 2 + gb.ty ** 2 + gb.tz ** 2 > 1e-12
@@ -1869,15 +1849,16 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         # terrain scene's self-shadowed backslopes from the wavefront)
         relevant = covered & w_rel
         # park the rest: far origin + zero direction lets the tile cull
-        # mask drop whole (tile, cluster) steps
-        far = 1e9
+        # mask drop whole (tile, cluster) steps. (Named PARK, not far —
+        # `far` is this function's clip-plane parameter.)
+        park = 1e9
         sdx = jnp.where(relevant, -w_lx / ll, 0.0)
         sdy = jnp.where(relevant, -w_ly / ll, 0.0)
         sdz = jnp.where(relevant, -w_lz / ll, 0.0)
         ts = jnp.where(relevant, w_t, 0.0)
-        px = jnp.where(relevant, origin[0] + dx * ts + w_nx * 1e-3, far)
-        py = jnp.where(relevant, origin[1] + dy * ts + w_ny * 1e-3, far)
-        pz = jnp.where(relevant, origin[2] + dz * ts + w_nz * 1e-3, far)
+        px = jnp.where(relevant, origin[0] + dx * ts + w_nx * 1e-3, park)
+        py = jnp.where(relevant, origin[1] + dy * ts + w_ny * 1e-3, park)
+        pz = jnp.where(relevant, origin[2] + dz * ts + w_nz * 1e-3, park)
         occ = jnp.zeros((r,), bool)
         if has_mesh:
             # big scenes: re-tile the shadow wavefront by origin
