@@ -140,19 +140,26 @@ class SceneConfig:
     @staticmethod
     def from_json(text: str) -> "SceneConfig":
         raw = json.loads(text)
+
+        def tup(d, k):
+            # tuple-ify list fields ONLY when present — hand-written
+            # configs may omit any field with a dataclass default
+            return {k: tuple(d[k])} if k in d else {}
+
+        cam = raw.get("camera", {})
         return SceneConfig(
-            spheres=tuple(SphereConfig(**{**s, "center": tuple(s["center"]),
-                                          "color": tuple(s["color"]),
-                                          "light_direction": tuple(s["light_direction"])})
-                          for s in raw.get("spheres", ())),
-            meshes=tuple(MeshConfig(**{**m, "light_direction": tuple(m["light_direction"]),
-                                       "translation": tuple(m["translation"])})
-                         for m in raw.get("meshes", ())),
+            spheres=tuple(
+                SphereConfig(**{**s, **tup(s, "center"), **tup(s, "color"),
+                                **tup(s, "light_direction")})
+                for s in raw.get("spheres", ())),
+            meshes=tuple(
+                MeshConfig(**{**m, **tup(m, "light_direction"),
+                              **tup(m, "translation")})
+                for m in raw.get("meshes", ())),
             background=tuple(raw.get("background", (0.0, 0.0, 0.0))),
-            camera=CameraConfig(**{**raw["camera"], "eye": tuple(raw["camera"]["eye"]),
-                                   "target": tuple(raw["camera"]["target"]),
-                                   "up": tuple(raw["camera"]["up"])}),
-            render=RenderConfig(**raw["render"]),
+            camera=CameraConfig(**{**cam, **tup(cam, "eye"),
+                                   **tup(cam, "target"), **tup(cam, "up")}),
+            render=RenderConfig(**raw.get("render", {})),
         )
 
 
@@ -160,11 +167,14 @@ class SceneConfig:
 # Asset resolution
 # ---------------------------------------------------------------------------
 
-_ASSET_SEARCH_PATHS = (
-    os.environ.get("RWRT_ASSETS", ""),
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets"),
-    "/root/reference/res",
-)
+def _asset_search_paths():
+    # read $RWRT_ASSETS per call: setting it after import must work
+    return (
+        os.environ.get("RWRT_ASSETS", ""),
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets"),
+        "/root/reference/res",
+    )
 
 
 def resolve_asset(name: str) -> str:
@@ -176,14 +186,15 @@ def resolve_asset(name: str) -> str:
     """
     if os.path.isabs(name) and os.path.exists(name):
         return name
-    for root in _ASSET_SEARCH_PATHS:
+    paths = _asset_search_paths()
+    for root in paths:
         if not root:
             continue
         cand = os.path.join(root, name)
         if os.path.exists(cand):
             return cand
     raise FileNotFoundError(
-        f"asset {name!r} not found on search path {_ASSET_SEARCH_PATHS}")
+        f"asset {name!r} not found on search path {paths}")
 
 
 def reference_scene(width: int = 600, height: int = 600, **render_overrides) -> SceneConfig:

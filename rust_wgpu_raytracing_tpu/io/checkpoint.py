@@ -35,7 +35,10 @@ def save_checkpoint(path: str, renderer) -> None:
     if accum is not None:
         arrays["accum"] = np.asarray(accum)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, state=json.dumps(state), **arrays)
+    # np.savez silently appends '.npz' to other suffixes — write to the
+    # EXACT path given so load_checkpoint(path) always round-trips
+    with open(path, "wb") as fh:
+        np.savez(fh, state=json.dumps(state), **arrays)
 
 
 def load_checkpoint(path: str, backend: str = "auto"):

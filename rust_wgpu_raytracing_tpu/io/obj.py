@@ -160,6 +160,9 @@ def _load_obj_python(path: str) -> Tuple[List[ObjMesh], List[ObjMaterial]]:
     # per-mesh accumulation state
     name = "default"
     cur_mat = 0
+    group_mat = None  # material of the group's FIRST face — the mesh's
+    #                   material_id (tobj single-material-per-mesh
+    #                   semantics; matches the native parser's remap)
     remap: Dict[Tuple[int, int, int], int] = {}
     out_pos: List = []
     out_uv: List = []
@@ -167,7 +170,7 @@ def _load_obj_python(path: str) -> Tuple[List[ObjMesh], List[ObjMaterial]]:
     out_faces: List[Tuple[int, int, int]] = []
 
     def flush():
-        nonlocal remap, out_pos, out_uv, out_nrm, out_faces
+        nonlocal remap, out_pos, out_uv, out_nrm, out_faces, group_mat
         if out_faces:
             meshes.append(ObjMesh(
                 name=name,
@@ -175,9 +178,10 @@ def _load_obj_python(path: str) -> Tuple[List[ObjMesh], List[ObjMaterial]]:
                 uvs=np.asarray(out_uv, dtype=np.float32).reshape(-1, 2),
                 normals=np.asarray(out_nrm, dtype=np.float32).reshape(-1, 3),
                 faces=np.asarray(out_faces, dtype=np.int32).reshape(-1, 3),
-                material_id=cur_mat,
+                material_id=group_mat if group_mat is not None else cur_mat,
             ))
         remap, out_pos, out_uv, out_nrm, out_faces = {}, [], [], [], []
+        group_mat = None
 
     def corner(token: str) -> int:
         comps = token.split("/")
@@ -207,6 +211,8 @@ def _load_obj_python(path: str) -> Tuple[List[ObjMesh], List[ObjMaterial]]:
             elif key == "vn":
                 normals.append(tuple(float(x) for x in parts[1:4]))
             elif key == "f":
+                if group_mat is None:
+                    group_mat = cur_mat
                 corners = [corner(t) for t in parts[1:]]
                 for i in range(1, len(corners) - 1):  # fan triangulation
                     out_faces.append((corners[0], corners[i], corners[i + 1]))

@@ -93,8 +93,14 @@ ObjResult* obj_parse(const char* path) {
   int n_mats = 0;
   bool group_open = false;
 
-  char line[8192];
-  while (fgets(line, sizeof(line), f)) {
+  // getline: arbitrary line lengths (an 8 KB fgets buffer split giant
+  // face lines mid-token and misparsed the tail as directives)
+  char* line = nullptr;
+  size_t line_cap = 0;
+  ssize_t line_len;
+  bool bail = false;  // unsupported input -> caller falls back to python
+  while (!bail && (line_len = getline(&line, &line_cap, f)) != -1) {
+    (void)line_len;
     char* p = line;
     while (*p == ' ' || *p == '\t') ++p;
     if (p[0] == 'v' && p[1] == ' ') {
@@ -116,13 +122,26 @@ ObjResult* obj_parse(const char* path) {
       }
       // gather corner output indices with dedup (python parity:
       // first-appearance order)
-      int32_t corner_idx[64];
+      int32_t corner_idx[256];
       int n_corners = 0;
       char* tok = strtok(p + 1, " \t\r\n");
-      while (tok && n_corners < 64) {
+      while (tok) {
+        if (n_corners >= 256) {
+          // polygon wider than the fan buffer: bail (silently dropping
+          // corners would diverge from the python parser)
+          bail = true;
+          break;
+        }
         int64_t vi, ti, ni;
         parse_corner(tok, (int64_t)vs.size() / 3, (int64_t)vts.size() / 2,
                      (int64_t)vns.size() / 3, &vi, &ti, &ni);
+        if (vi + 1 >= (1 << 21) || ti + 1 >= (1 << 21)
+            || ni + 1 >= (1 << 21)) {
+          // attribute index overflows the 21-bit remap key fields —
+          // colliding keys would silently corrupt geometry; bail
+          bail = true;
+          break;
+        }
         uint64_t key = (((uint64_t)(vi + 1)) << 42)
                        | (((uint64_t)(ti + 1)) << 21)
                        | ((uint64_t)(ni + 1));
@@ -171,9 +190,13 @@ ObjResult* obj_parse(const char* path) {
         cur_mat = it->second;
       }
     } else if (!strncmp(p, "mtllib", 6)) {
-      char name[1024] = {0};
-      sscanf(p + 6, "%1023s", name);
-      mtllib = name;
+      // rest of line, trimmed: MTL filenames may contain spaces
+      char* q = p + 6;
+      while (*q == ' ' || *q == '\t') ++q;
+      char* e = q + strlen(q);
+      while (e > q && (e[-1] == '\n' || e[-1] == '\r' || e[-1] == ' '
+                       || e[-1] == '\t')) --e;
+      mtllib.assign(q, (size_t)(e - q));
     } else if ((p[0] == 'o' || p[0] == 'g')
                && (p[1] == ' ' || p[1] == '\n' || p[1] == '\r')) {
       group_open = false;   // next face starts a new mesh
@@ -183,7 +206,17 @@ ObjResult* obj_parse(const char* path) {
       // Scene.build produces anyway.
     }
   }
+  free(line);
   fclose(f);
+  if (bail) {
+    // unsupported input (giant polygon or attribute indices past the
+    // 21-bit remap key): report an error so the caller's ValueError
+    // path falls back to the python parser instead of silently
+    // diverging
+    res->error = dup_str("unsupported OBJ feature for the native "
+                         "fast path; use the python parser");
+    return res;
+  }
   std::string names;
   for (size_t k = 0; k < mat_order.size(); ++k) {
     if (k) names += "\n";

@@ -31,7 +31,7 @@ _PAGE = b"""<!doctype html>
 <img id="v" src="/stream" style="image-rendering:pixelated">
 <p>WASD/arrows orbit &middot; space/shift up-down (reference key map)</p>
 <script>
-const send=(k,p)=>fetch(`/key?k=${k}&p=${p?1:0}`);
+const send=(k,p)=>fetch(`/key?k=${encodeURIComponent(k)}&p=${p?1:0}`);
 onkeydown=e=>send(e.key.toLowerCase(),1);
 onkeyup=e=>send(e.key.toLowerCase(),0);
 </script></body></html>
@@ -115,9 +115,18 @@ class RenderServer:
                         "multipart/x-mixed-replace; boundary=frame")
                     self.end_headers()
                     try:
-                        while server.loop.running:
+                        sent_first = False
+                        while True:
                             ev = server.frame_event
-                            ev.wait(timeout=5.0)
+                            fired = ev.wait(timeout=5.0)
+                            # stream until the CLIENT goes away: gating
+                            # on loop.running killed streams opened
+                            # before run() started; and only (re)send
+                            # when a new frame actually arrived (or
+                            # once at connect, so the page shows the
+                            # last frame of a paused loop)
+                            if not fired and sent_first:
+                                continue
                             img = server.latest
                             if img is None:
                                 continue
@@ -126,6 +135,7 @@ class RenderServer:
                                 b"--frame\r\nContent-Type: image/jpeg\r\n"
                                 + f"Content-Length: {len(jpg)}\r\n\r\n".encode()
                                 + jpg + b"\r\n")
+                            sent_first = True
                     except (BrokenPipeError, ConnectionResetError):
                         pass
                 else:

@@ -90,3 +90,24 @@ class TestRendererReconfig:
         # the eye actually sweeps both x signs (goes around)
         xs = np.asarray(eyes)[:, 0]
         assert xs.max() > 0.5 * r0 and xs.min() < -0.5 * r0
+
+
+class TestMinimalJson:
+    def test_from_json_accepts_partial_configs(self):
+        """Hand-written configs may omit any field with a default
+        (regression: from_json indexed optional fields unconditionally
+        and crashed on exactly the minimal configs a config system
+        exists to accept)."""
+        cfg = SceneConfig.from_json(
+            '{"spheres": [{"center": [0, 0, -3], "radius": 1.0}]}')
+        assert cfg.spheres[0].radius == 1.0
+        assert cfg.spheres[0].color == SphereConfig(
+            center=(0, 0, -3), radius=1.0).color
+        assert cfg.render.width > 0
+
+    def test_rwrt_assets_read_per_call(self, tmp_path, monkeypatch):
+        from rust_wgpu_raytracing_tpu.config import resolve_asset
+
+        (tmp_path / "thing.obj").write_text("v 0 0 0\n")
+        monkeypatch.setenv("RWRT_ASSETS", str(tmp_path))
+        assert resolve_asset("thing.obj") == str(tmp_path / "thing.obj")

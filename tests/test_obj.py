@@ -92,3 +92,37 @@ def test_mtl_parse():
     assert len(mats) == 1
     np.testing.assert_allclose(mats[0].specular, (0.5, 0.5, 0.5))
     np.testing.assert_allclose(mats[0].shininess, 323.999994)
+
+
+class TestParserParity:
+    def test_multi_usemtl_group_uses_first_face_material(self, tmp_path):
+        """Python and native parsers must agree: a group spanning
+        several usemtl directives takes its mesh material from the
+        group's FIRST face (regression: the python path used the LAST
+        usemtl seen at flush time)."""
+        from rust_wgpu_raytracing_tpu.io.obj import _load_obj_python
+
+        mtl = tmp_path / "m.mtl"
+        mtl.write_text("newmtl A\nKd 1 0 0\nnewmtl B\nKd 0 1 0\n")
+        obj = tmp_path / "t.obj"
+        obj.write_text(
+            "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+            "usemtl A\nf 1 2 3\nusemtl B\nf 2 4 3\n")
+        meshes, mats = _load_obj_python(str(obj))
+        assert [m.name for m in mats] == ["A", "B"]
+        assert meshes[0].material_id == 0  # material A (first face)
+
+    def test_native_bails_to_python_on_wide_polygon(self, tmp_path):
+        """A polygon wider than the native fan buffer must fall back to
+        the python parser (not silently truncate)."""
+        from rust_wgpu_raytracing_tpu.io.obj import load_obj
+
+        n = 300
+        verts = "".join(
+            f"v {np.cos(2*np.pi*i/n)} {np.sin(2*np.pi*i/n)} 0\n"
+            for i in range(n))
+        face = "f " + " ".join(str(i + 1) for i in range(n)) + "\n"
+        obj = tmp_path / "poly.obj"
+        obj.write_text(verts + face)
+        meshes, _ = load_obj(str(obj))
+        assert meshes[0].faces.shape[0] == n - 2  # full fan either way

@@ -2,6 +2,7 @@
 models layer, logging."""
 
 import json
+import os
 import urllib.request
 
 import numpy as np
@@ -290,3 +291,19 @@ class TestWindow:
         r = tiny_renderer()
         with pytest.raises(RuntimeError, match="no display"):
             win.Window(r)
+
+
+class TestCheckpointPath:
+    def test_non_npz_path_round_trips(self, tmp_path):
+        """np.savez silently appends '.npz'; save must write the EXACT
+        path so load(path) always works."""
+        from rust_wgpu_raytracing_tpu.io import (load_checkpoint,
+                                                 save_checkpoint)
+
+        r = tiny_renderer()
+        r.render(block=True)
+        p = str(tmp_path / "run.ckpt")
+        save_checkpoint(p, r)
+        assert os.path.exists(p)
+        r2 = load_checkpoint(p)
+        assert r2.frame_count == r.frame_count
