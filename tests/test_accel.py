@@ -384,3 +384,35 @@ class TestBounceSort:
                 np.asarray(getattr(gb_u, name)), err_msg=name)
         np.testing.assert_array_equal(np.asarray(occ_s),
                                       np.asarray(occ_u))
+
+
+class TestStreamingMultiSuper:
+    def test_forced_stream_multi_superblock_parity(self):
+        """Double-buffered slot alternation across SEVERAL nonzero mask
+        words (terrain:46 pads to 4 superblocks) — the single-word
+        terrain:23 case never flips the DMA slot. Streamed G-buffer and
+        any-hit must equal the all-VMEM kernels exactly."""
+        cfg, s = terrain_scene(46)
+        assert s.data.padded_faces == 4096  # 4 superblocks
+        uni = CameraUniforms.unflat(uni_for(cfg, 128, 128))
+        dx, dy, dz = raygen_planar(128, 128, uni)
+        gv = gbuffer_pallas(s.data, uni.origin, dx, dy, dz, interpret=True,
+                            stream=False)
+        gs = gbuffer_pallas(s.data, uni.origin, dx, dy, dz, interpret=True,
+                            stream=True)
+        for name in ("t", "face", "u", "v", "nd", "uvx", "uvy",
+                     "nx", "ny", "nz", "mat"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gv, name)), np.asarray(getattr(gs, name)),
+                err_msg=name)
+        r = dx.shape[0]
+        ox = jnp.full((r,), float(uni.origin[0]))
+        oy = jnp.full((r,), float(uni.origin[1]))
+        oz = jnp.full((r,), float(uni.origin[2]))
+        act = jnp.ones((r,), bool)
+        ov = anyhit_pallas(s.data, ox, oy, oz, dx, dy, dz, act,
+                           interpret=True, stream=False)
+        os_ = anyhit_pallas(s.data, ox, oy, oz, dx, dy, dz, act,
+                            interpret=True, stream=True)
+        assert np.asarray(ov).any()
+        np.testing.assert_array_equal(np.asarray(ov), np.asarray(os_))
