@@ -124,6 +124,11 @@ def _load_obj_native(path: str):
     pos, uv, nrm, faces, fmat, starts, mtllib, mat_names = parsed
     if len(starts) != 1:
         return None  # multi-group: python path splits per-mesh pools
+    if len(fmat) and len(np.unique(np.asarray(fmat))) > 1:
+        # multiple usemtl runs inside one group: tobj splits a model
+        # whenever the material changes — the python path implements
+        # that split (per-mesh vertex pools), so defer to it
+        return None
 
     materials: List[ObjMaterial] = []
     if mtllib:
@@ -221,7 +226,15 @@ def _load_obj_python(path: str) -> Tuple[List[ObjMesh], List[ObjMaterial]]:
                 name = parts[1] if len(parts) > 1 else "default"
             elif key == "usemtl":
                 mat_name = parts[1] if len(parts) > 1 else ""
-                cur_mat = mat_ids.get(mat_name, 0)
+                new_mat = mat_ids.get(mat_name, 0)
+                if out_faces and group_mat is not None \
+                        and new_mat != group_mat:
+                    # tobj splits a model whenever the material changes
+                    # (single-material-per-mesh), even mid-group — flush
+                    # the accumulated faces as their own mesh so later
+                    # faces shade with the right material
+                    flush()
+                cur_mat = new_mat
             elif key == "mtllib":
                 mtl_path = os.path.join(os.path.dirname(path), " ".join(parts[1:]))
                 if os.path.exists(mtl_path):

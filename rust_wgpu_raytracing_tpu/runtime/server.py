@@ -44,6 +44,7 @@ class RenderServer:
         self.loop = loop
         self.latest: np.ndarray | None = None
         self.frame_event = threading.Event()
+        self._closing = threading.Event()
         loop.present = self._on_frame
         self.httpd = ThreadingHTTPServer((host, port), self._handler())
         self.port = self.httpd.server_address[1]
@@ -116,7 +117,10 @@ class RenderServer:
                     self.end_headers()
                     try:
                         sent_first = False
-                        while True:
+                        # exit on client disconnect OR server shutdown
+                        # (a connected client must not pin the handler
+                        # thread forever after shutdown())
+                        while not server._closing.is_set():
                             ev = server.frame_event
                             fired = ev.wait(timeout=5.0)
                             # stream until the CLIENT goes away: gating
@@ -149,4 +153,6 @@ class RenderServer:
         return th
 
     def shutdown(self):
+        self._closing.set()
+        self.frame_event.set()  # wake blocked stream handlers now
         self.httpd.shutdown()

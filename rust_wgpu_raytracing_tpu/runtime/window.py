@@ -63,6 +63,12 @@ class Window:
                 "no display available; use runtime.server.RenderServer "
                 "for the headless live view") from err
         self.root.title(title)
+        # size the window to the renderer up front: the first
+        # <Configure> fires at window map, BEFORE the first frame has
+        # sized the label — without an initial geometry it would report
+        # the default tiny root size and collapse the renderer's
+        # configured resolution
+        self.root.geometry(f"{renderer.width}x{renderer.height}")
         self.loop = FrameLoop(renderer, present=self._on_frame,
                               max_fps=max_fps)
         self._tk = tk

@@ -95,12 +95,14 @@ def test_mtl_parse():
 
 
 class TestParserParity:
-    def test_multi_usemtl_group_uses_first_face_material(self, tmp_path):
-        """Python and native parsers must agree: a group spanning
-        several usemtl directives takes its mesh material from the
-        group's FIRST face (regression: the python path used the LAST
-        usemtl seen at flush time)."""
-        from rust_wgpu_raytracing_tpu.io.obj import _load_obj_python
+    def test_multi_usemtl_group_splits_per_material(self, tmp_path):
+        """tobj semantics: a group spanning several usemtl directives
+        SPLITS into one mesh per material run (the reference splits a
+        model whenever the material changes — tobj single_index). Both
+        parser paths must agree (the native wrapper defers to python
+        for multi-material groups)."""
+        from rust_wgpu_raytracing_tpu.io.obj import (_load_obj_python,
+                                                     load_obj)
 
         mtl = tmp_path / "m.mtl"
         mtl.write_text("newmtl A\nKd 1 0 0\nnewmtl B\nKd 0 1 0\n")
@@ -108,9 +110,14 @@ class TestParserParity:
         obj.write_text(
             "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
             "usemtl A\nf 1 2 3\nusemtl B\nf 2 4 3\n")
-        meshes, mats = _load_obj_python(str(obj))
-        assert [m.name for m in mats] == ["A", "B"]
-        assert meshes[0].material_id == 0  # material A (first face)
+        for loader in (_load_obj_python, load_obj):
+            meshes, mats = loader(str(obj))
+            assert [m.name for m in mats] == ["A", "B"]
+            assert len(meshes) == 2
+            assert meshes[0].material_id == 0  # faces before the switch
+            assert meshes[1].material_id == 1  # faces after it
+            assert meshes[0].faces.shape[0] == 1
+            assert meshes[1].faces.shape[0] == 1
 
     def test_native_bails_to_python_on_wide_polygon(self, tmp_path):
         """A polygon wider than the native fan buffer must fall back to
