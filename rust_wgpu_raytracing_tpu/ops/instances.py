@@ -131,17 +131,22 @@ class InstancedScene:
         the per-frame refit."""
         t = jnp.asarray(transforms, jnp.float32)
         assert t.shape == (self.n_instances, 3, 4), t.shape
+        nf = self.n_instances * self.base_faces.shape[0]
+        # decided HERE (not inside the jit body) so the trace cache
+        # can't pin a stale read of the module global
+        build_spack = nf > STREAM_FACES and nf % SUPER_F == 0
         return _instantiate_jit(
             self.template, self.base_pos, self.base_faces, self.base_uv3,
             self.base_vn3, self.base_mat, self.base_valid,
             self.base_tan, self.base_bit, self.n_instances,
-            self.fb_real, t)
+            self.fb_real, t, build_spack)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "fb_real"))
+@functools.partial(jax.jit, static_argnames=("n", "fb_real",
+                                             "build_spack"))
 def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
                      base_mat, base_valid, base_tan, base_bit, n,
-                     fb_real, t) -> SceneData:
+                     fb_real, t, build_spack) -> SceneData:
         fb = base_faces.shape[0]
 
         # transformed vertices per instance: (N, V, 3)
@@ -197,7 +202,7 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             return out / jnp.where(l > 1e-12, l, 1.0)
 
         orig = jnp.arange(nf, dtype=jnp.int32)
-        return dataclasses.replace(
+        sd = dataclasses.replace(
             template,
             tri_tangent=rot_dirs(base_tan),
             tri_bitangent=rot_dirs(base_bit),
@@ -215,9 +220,7 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             blk_lo=blk_lo,
             blk_hi=blk_hi,
             # the template's host-precomputed streaming record describes
-            # the untransformed mesh — invalidate so the kernels rebuild
-            # it in-jit from the refit geometry (ops/megakernel.py
-            # _stream_pack)
+            # the untransformed mesh — stale once instances move
             spack=jnp.zeros((0, STREAM_COLS), jnp.float32),
             # the host-built radix tree is stale once instances move
             # (accel="bvh" only needs the refit blk_lo/hi, so the
@@ -228,6 +231,17 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             # tri_valid carries per-face truth)
             num_faces=int(n * fb_real),
         )
+        if build_spack:
+            # streaming-scale refit: rebuild the streaming record HERE,
+            # once per frame, in superblock chunks (the one-shot in-jit
+            # build OOMs HBM at 2M faces on layout-padded narrow temps;
+            # ops/megakernel.pack_stream_columns_chunked) — every
+            # kernel of the frame then shares the refreshed record
+            from .megakernel import pack_stream_columns_chunked
+
+            sd = dataclasses.replace(sd,
+                                     spack=pack_stream_columns_chunked(sd))
+        return sd
 
 
 def grid_transforms(n: int, spacing: float = 2.5, z: float = -10.0,

@@ -43,7 +43,8 @@ from ..core.scene import (CULL_BLOCK, SC_DC, SC_OT, STREAM_COLS,
 from .composite import to_nonlinear_depth
 from .intersect import HI, K_EPSILON, TriHit
 from .raygen import ndc_grid
-from .traverse import slab_interval_ok, tile_ray_bounds
+from .traverse import (ray_root_exit, slab_interval_entry,
+                       slab_interval_ok, tile_ray_bounds)
 from .traverse_pallas import hier_cull_fits, hier_cull_words
 
 INT_MISS = 2**31 - 1  # python scalars only: traced constants cannot be
@@ -143,10 +144,16 @@ def pack_origin_cols(scene: SceneData, origin) -> jnp.ndarray:
 def _stream_pack(scene: SceneData) -> jnp.ndarray:
     """The (F, STREAM_COLS) streaming face record: the host-precomputed
     SceneData.spack when present (Scene.build, big scenes), else built
-    in-jit (device-refit instanced scenes, forced-stream tests)."""
-    if scene.spack is not None and \
-            scene.spack.shape[0] == scene.tri_p0.shape[0]:
+    in-jit (device-refit instanced scenes, forced-stream tests) — per
+    SUPERBLOCK once past streaming scale: the one-shot build's narrow
+    concat operands pad to the result's (8, 128) tiling, which OOMed
+    HBM at 2M faces (core/scene.py:54-57); 1024-face chunks keep every
+    temp at ~0.5 MB."""
+    f = scene.tri_p0.shape[0]
+    if scene.spack is not None and scene.spack.shape[0] == f:
         return scene.spack
+    if f > STREAM_FACES and f % SUPER_F == 0:
+        return pack_stream_columns_chunked(scene)
     return pack_stream_columns(scene)
 
 
@@ -164,6 +171,40 @@ def pack_stream_columns(scene: SceneData) -> jnp.ndarray:
     ], axis=1)
 
 
+def pack_stream_columns_chunked(scene: SceneData) -> jnp.ndarray:
+    """Device-side streaming-record build in SUPER_F-face chunks: one
+    superblock's columns are assembled from narrow operands (each temp
+    (1024, <=128) ~ 0.5 MB) and placed with dynamic_update_slice into
+    the preallocated (F, 128) record — a lax.fori_loop over superblocks.
+    This is what lets LARGE refit/instanced scenes stream: the template
+    spack is stale after `instantiate`, and the one-shot in-jit rebuild
+    at 2M faces materialized ~GB-scale layout-padded temps (HBM OOM)."""
+    import dataclasses as _dc
+
+    f = scene.tri_p0.shape[0]
+    ns = f // SUPER_F
+    out = jnp.zeros((f, STREAM_COLS), jnp.float32)
+
+    def body(s, acc):
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, s * SUPER_F, SUPER_F, 0)
+
+        sub = _dc.replace(
+            scene, tri_p0=sl(scene.tri_p0), tri_n=sl(scene.tri_n),
+            tri_g=sl(scene.tri_g),
+            tri_inv_denom=sl(scene.tri_inv_denom),
+            tri_uv=sl(scene.tri_uv), tri_mat=sl(scene.tri_mat),
+            tri_orig=sl(scene.tri_orig),
+            tri_tangent=sl(scene.tri_tangent),
+            tri_bitangent=sl(scene.tri_bitangent),
+            tri_vn=sl(scene.tri_vn), tri_d=sl(scene.tri_d),
+            tri_c=sl(scene.tri_c))
+        chunk = pack_stream_columns(sub)
+        return jax.lax.dynamic_update_slice(acc, chunk, (s * SUPER_F, 0))
+
+    return jax.lax.fori_loop(0, ns, body, out)
+
+
 def _col(ref, k):
     return ref[:, k:k + 1]  # (BLOCK_F, 1)
 
@@ -172,21 +213,44 @@ def _row1(ref):
     return ref[:].reshape(1, -1)  # 1D (TILE_R,) block -> (1, TILE_R)
 
 
-def _make_closest_hit_kernel(with_nm: bool, block_f: int, n_blocks: int,
-                             nwords: int):
+def _ordered_cluster_loop(tlb_ref, order_ref, nb, visit, bound_fn):
+    """In-kernel FRONT-TO-BACK cluster loop for the all-VMEM kernels:
+    order_ref (1,1,nb) SMEM holds the tile's clusters sorted ascending
+    by conservative entry t (tlb_ref, +inf for culled clusters — the
+    cull mask is folded into the schedule), so the while_loop stops at
+    the first cluster whose entry bound exceeds bound_fn() =
+    max_ray(min(best_t, root_exit)): no later cluster can improve any
+    lexicographic (t, face) winner. Exact — same guarantee as the
+    streaming loop's stop_fn (see _stream_sched), at single-cluster
+    granularity. An all-culled tile costs ONE scalar compare (tlb inf),
+    replacing the word scan entirely."""
+
+    def cond(p):
+        c = order_ref[0, 0, jnp.minimum(p, nb - 1)]
+        return jnp.logical_and(p < nb, tlb_ref[0, 0, c] <= bound_fn())
+
+    def body(p):
+        visit(order_ref[0, 0, p])
+        return p + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+
+
+def _make_closest_hit_kernel(with_nm: bool, block_f: int, n_blocks: int):
     """Kernel factory (grid = ray tiles ONLY; the face-cluster loop runs
     INSIDE the kernel over the fully-VMEM-resident face pack — grid-step
     overhead is ~0.75us/step on v5e, and looping in-kernel removes the
-    (tiles x clusters - tiles) extra steps). with_nm=True adds 9 outputs
-    (interpolated vertex normal + per-face tangent/bitangent)."""
+    (tiles x clusters - tiles) extra steps), clusters visited
+    front-to-back with exact early termination (_ordered_cluster_loop).
+    with_nm=True adds 9 outputs (interpolated vertex normal + per-face
+    tangent/bitangent)."""
 
-    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, fpack_ref, oterm_ref,
-               *outs):
+    def kernel(tlb_ref, order_ref, dx_ref, dy_ref, dz_ref, texit_ref,
+               fpack_ref, oterm_ref, *outs):
         (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
          nx_ref, ny_ref, nz_ref, mat_ref) = outs[:11]
         nm_refs = outs[11:] if with_nm else ()
 
-        i = pl.program_id(0)
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         for r in (face_ref,):
             r[:] = jnp.zeros_like(r)
@@ -197,7 +261,6 @@ def _make_closest_hit_kernel(with_nm: bool, block_f: int, n_blocks: int,
         dx = _row1(dx_ref)  # (1, TILE_R)
         dy = _row1(dy_ref)
         dz = _row1(dz_ref)
-        nb = n_blocks
 
         def visit(jj):
             base = pl.multiple_of(jj * block_f, block_f)
@@ -208,7 +271,10 @@ def _make_closest_hit_kernel(with_nm: bool, block_f: int, n_blocks: int,
                       uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
                       mat_ref, nm_refs)
 
-        _mask_word_loop(mask_ref, nwords, nb, i, visit)
+        def bound():
+            return jnp.max(jnp.minimum(t_ref[:], texit_ref[:]))
+
+        _ordered_cluster_loop(tlb_ref, order_ref, n_blocks, visit, bound)
 
     return kernel
 
@@ -238,10 +304,13 @@ def _ch_block(g, o, dx, dy, dz, face_base,
     )
     tm = jnp.where(valid, t, F32_INF)
 
-    # block-local winner (min t; first face in block order on ties; the
-    # strict < merge keeps earlier blocks on cross-block ties — the
-    # reference's update rule, triangle_list/compute.wgsl:198, in Morton
-    # face order)
+    # block-local winner (min t; first face in block order on ties).
+    # The cross-block merge below is LEXICOGRAPHIC on (t, face id) —
+    # visit-ORDER-independent, so t-sorted front-to-back streaming
+    # (early termination) and ascending Morton sweeps produce the same
+    # winner: the smallest face id among the global min-t faces, which
+    # is exactly what the reference's strict-< update rule
+    # (triangle_list/compute.wgsl:198) selects in Morton face order.
     tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, TILE_R)
     face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
     idx_blk = jnp.min(
@@ -262,13 +331,21 @@ def _ch_block(g, o, dx, dy, dz, face_base,
     uvy_m = (u_n * col(g, _C_UV + 1) + v_n * col(g, _C_UV + 3)
              + w_n * col(g, _C_UV + 5))
 
-    better = (tmin < _row1(t_ref)).reshape(-1)  # (TILE_R,)
+    # lexicographic (t, face id) merge: order-independent (see above).
+    # A no-hit block has tmin == inf and a miss face id >= face_base,
+    # which can never displace a real hit (inf < t is false; on the
+    # inf == inf tie the incumbent face id 0 <= any miss id wins).
+    prev_t = _row1(t_ref)
+    new_face = idx_blk + face_base
+    better = ((tmin < prev_t)
+              | ((tmin == prev_t)
+                 & (new_face < _row1(face_ref)))).reshape(-1)
 
     def merge(ref, new):
         ref[:] = jnp.where(better, new.reshape(-1), ref[:])
 
     merge(t_ref, tmin)
-    merge(face_ref, idx_blk + face_base)
+    merge(face_ref, new_face)
     merge(u_ref, pick(u_n))
     merge(v_ref, pick(v_n))
     merge(nd_ref, pick(ndotd))
@@ -292,19 +369,18 @@ def _ch_block(g, o, dx, dy, dz, face_base,
             merge(ref, val)
 
 
-def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int,
-                                    nwords: int):
+def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int):
     """Closest-hit with PER-RAY origins (secondary/bounce rays for the
-    path tracer). Same in-kernel-loop structure as the shared-origin
-    kernel but origin terms are computed per (face, ray) from planar
-    origin rows; hits closer than the self-intersection epsilon 1e-3 are
-    rejected. Terminated paths carry dirs == 0 and can never hit."""
+    path tracer). Same front-to-back in-kernel-loop structure as the
+    shared-origin kernel but origin terms are computed per (face, ray)
+    from planar origin rows; hits closer than the self-intersection
+    epsilon 1e-3 are rejected. Terminated paths carry dirs == 0 and can
+    never hit (their root-exit bound is pinned to -1)."""
 
-    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
-               fpack_ref, dc_ref,
+    def kernel(tlb_ref, order_ref, dx_ref, dy_ref, dz_ref,
+               ox_ref, oy_ref, oz_ref, texit_ref, fpack_ref, dc_ref,
                t_ref, face_ref, u_ref, v_ref, nd_ref,
                uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref):
-        i = pl.program_id(0)
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         for r in (face_ref,):
             r[:] = jnp.zeros_like(r)
@@ -314,7 +390,6 @@ def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int,
 
         dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
-        nb = n_blocks
 
         def visit(jj):
             base = pl.multiple_of(jj * block_f, block_f)
@@ -324,7 +399,10 @@ def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int,
                        t_ref, face_ref, u_ref, v_ref, nd_ref,
                        uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref)
 
-        _mask_word_loop(mask_ref, nwords, nb, i, visit)
+        def bound():
+            return jnp.max(jnp.minimum(t_ref[:], texit_ref[:]))
+
+        _ordered_cluster_loop(tlb_ref, order_ref, n_blocks, visit, bound)
 
     return kernel
 
@@ -383,13 +461,18 @@ def _chp_block(g, dc, dx, dy, dz, ox, oy, oz, face_base,
     uvy_m = (u_n * col(g, _C_UV + 1) + v_n * col(g, _C_UV + 3)
              + w_n * col(g, _C_UV + 5))
 
-    better = (tmin < _row1(t_ref)).reshape(-1)
+    # lexicographic (t, face id) merge — order-independent, see _ch_block
+    prev_t = _row1(t_ref)
+    new_face = idx_blk + face_base
+    better = ((tmin < prev_t)
+              | ((tmin == prev_t)
+                 & (new_face < _row1(face_ref)))).reshape(-1)
 
     def merge(ref, new):
         ref[:] = jnp.where(better, new.reshape(-1), ref[:])
 
     merge(t_ref, tmin)
-    merge(face_ref, idx_blk + face_base)
+    merge(face_ref, new_face)
     merge(u_ref, pick(u_n))
     merge(v_ref, pick(v_n))
     merge(nd_ref, pick(ndotd))
@@ -695,38 +778,71 @@ def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None,
     jax.lax.fori_loop(0, nwords, word_step, 0)
 
 
+class _SubView:
+    """Static per-subtile window into a 1-D batched ref. The batched
+    streaming kernels pass these to the shared block mergers
+    (_ch_block & co.), which only ever do full `[:]` loads/stores —
+    the window start is a Python int, so every access lowers to a
+    static VMEM slice."""
+
+    def __init__(self, ref, start, size):
+        self._ref = ref
+        self._sl = slice(start, start + size)
+
+    def __getitem__(self, _):
+        return self._ref[self._sl]
+
+    def __setitem__(self, _, val):
+        self._ref[self._sl] = val
+
+
 def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
-                      sems, visit_bit, done_fn=None, order_ref=None):
+                      sems, visit_bit, nsub=1, done_fn=None,
+                      sub_done_fn=None, order_ref=None, stop_fn=None):
     """HBM-streaming variant of _mask_word_loop (VERDICT r1: breaks the
     all-VMEM scene-size ceiling). The (F, STREAM_COLS) face pack stays
     in HBM; one packed mask word covers exactly one superblock of sup_f
-    faces (32 clusters x 32 faces). For each NONZERO word the loop DMAs
-    the superblock into VMEM scratch and visits the word's set bits
-    (32-face sub-blocks); skipped superblocks cost one SMEM scalar read
-    each.
+    faces (32 clusters x 32 faces). For each word the loop DMAs the
+    superblock into VMEM scratch and visits its set bits (32-face
+    sub-blocks); skipped superblocks cost one SMEM scalar read each.
+
+    BATCHED over nsub ray subtiles (VERDICT r2 #1): each 512 KB
+    superblock fetch is shared by all nsub subtiles of the grid step
+    instead of being re-issued once per 1024-ray tile — screen/Morton-
+    adjacent tiles have near-identical masks, so this cuts redundant
+    HBM traffic ~nsub x (the 2M-face frames were DMA-bound on exactly
+    this re-fetch). mask_ref is the step's (1, nsub+1, n_super) SMEM
+    block: rows 0..nsub-1 are the per-subtile packed masks, row nsub is
+    their HOST-PRECOMPUTED UNION — the fetch loop scans only the union
+    row (one scalar read per word, nsub x fewer than OR-ing in-kernel).
+    Each subtile then visits only ITS OWN set bits, in the same
+    ascending (word, bit) order as the unbatched loop — compute volume
+    and closest-hit tie-breaking are bit-identical to nsub=1.
 
     DOUBLE-BUFFERED: bufs/sems are two VMEM slots + DMA semaphores.
     While word k's sub-blocks are being intersected out of one slot,
-    word k+1's 512 KB superblock fetch is already in flight into the
-    other — DMA issue latency + transfer hide behind intersection work
-    instead of serializing with it (sparse masks average only a few set
-    bits per word, so the fetch is NOT negligible next to the visit).
-    Structure: a scalar while_loop whose carry (j, parity, pending)
-    maintains the invariant that word j's DMA into slot `parity` is in
-    flight iff `pending` — the next fetch is issued BEFORE waiting on
-    the current one, and `pending` going false (words exhausted or
-    done_fn tripped) exits with no un-awaited copy. Slot indices must
-    be static in Mosaic, so each step body is emitted twice under
-    pl.when(parity == 0/1).
+    word k+1's superblock fetch is already in flight into the other —
+    DMA issue latency + transfer hide behind intersection work instead
+    of serializing with it. Structure: a scalar while_loop whose carry
+    (j, parity, pending) maintains the invariant that word j's DMA into
+    slot `parity` is in flight iff `pending` — the next fetch is issued
+    BEFORE waiting on the current one, and `pending` going false (words
+    exhausted or done_fn tripped) exits with no un-awaited copy. Slot
+    indices must be static in Mosaic, so each step body is emitted
+    twice under pl.when(parity == 0/1).
 
-    mask_ref is THIS TILE's (1, n_super) SMEM block — unlike the
-    all-VMEM kernels' whole-array scalar prefetch, the big-scene mask
-    (tiles x superblocks: 4+ MB at 500k faces / 1080p) cannot live in
-    1 MB SMEM at once, so it streams per grid step via an SMEM
-    BlockSpec. done_fn: scalar early-exit predicate (see
-    _mask_word_loop) — also skips remaining fetches. order_ref:
-    optional SMEM (n_super,) i32 visit permutation (shadow kernels
-    sort near-to-far along the light)."""
+    done_fn: scalar early-exit predicate over the WHOLE batch (see
+    _mask_word_loop) — also skips remaining fetches. sub_done_fn(sub,
+    s): optional per-(subtile, word) skip predicate — a subtile whose
+    rays are already all occluded (any-hit), or for whom word s starts
+    beyond every ray's current best t (closest-hit front-to-back), is
+    skipped while the rest of the batch keeps going. stop_fn(s):
+    optional TERMINATION predicate on the word id about to be
+    prefetched — with a visit order ascending in the batch-min entry t,
+    "word s cannot beat any ray's best" implies the same for every
+    later word, so the whole loop (fetches included) stops. order_ref:
+    optional SMEM (n_super,) i32 visit permutation (shadow kernels sort
+    near-to-far along the light; closest-hit sorts by entry t)."""
     bits = sup_f // block_f
 
     def word_id(j):
@@ -734,11 +850,11 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
         return order_ref[jc] if order_ref is not None else jc
 
     def next_nz(j0):
-        """First position >= j0 whose mask word is nonzero, else
+        """First position >= j0 whose UNION word is nonzero, else
         n_super."""
         def cond(j):
             return jnp.logical_and(j < n_super,
-                                   mask_ref[0, 0, word_id(j)] == 0)
+                                   mask_ref[0, nsub, word_id(j)] == 0)
 
         return jax.lax.while_loop(cond, lambda j: j + 1, j0)
 
@@ -756,21 +872,34 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
 
     def visit_word(j, slot):
         s = word_id(j)
-        word = mask_ref[0, 0, s]
+        for sub in range(nsub):  # static unroll: per-sub static slices
+            word = mask_ref[0, sub, s]
+            pred = word != 0
+            if sub_done_fn is not None:
+                pred = jnp.logical_and(
+                    pred, jnp.logical_not(sub_done_fn(sub, s)))
 
-        def bit_step(b_, c2):
-            @pl.when(((word >> b_) & 1) > 0)
-            def _():
-                visit_bit(bufs[slot], s, b_)
-            return c2
+            @pl.when(pred)
+            def _(sub=sub, word=word):
+                def bit_step(b_, c2):
+                    @pl.when(((word >> b_) & 1) > 0)
+                    def _():
+                        visit_bit(bufs[slot], s, b_, sub)
+                    return c2
 
-        jax.lax.fori_loop(0, bits, bit_step, 0)
+                jax.lax.fori_loop(0, bits, bit_step, 0)
 
     def body(carry):
         j, par, _ = carry
         stop = done_fn() if done_fn is not None else False
         jn = next_nz(j + 1)
         pre = jnp.logical_and(jn < n_super, jnp.logical_not(stop))
+        if stop_fn is not None:
+            # front-to-back termination: evaluated BEFORE visiting word
+            # j, so the bound is only tighter when a skipped-later word
+            # would actually be reached — fetch decisions stay sound
+            pre = jnp.logical_and(
+                pre, jnp.logical_not(stop_fn(word_id(jn))))
 
         for p in (0, 1):  # static slot duplication
             @pl.when(jnp.logical_and(par == p, pre))
@@ -790,6 +919,9 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
 
     j0 = next_nz(jnp.int32(0))
     pending0 = j0 < n_super
+    if stop_fn is not None:
+        pending0 = jnp.logical_and(
+            pending0, jnp.logical_not(stop_fn(word_id(j0))))
 
     @pl.when(pending0)
     def _():
@@ -808,114 +940,206 @@ def _stream_scratch():
     ]
 
 
-def _stream_mask_spec(mask, n_tiles, nwords, tile_r):
-    """Per-tile SMEM delivery of the packed mask for streaming kernels
+# ray subtiles batched per streaming grid step: one superblock fetch
+# serves STREAM_BATCH tiles (VMEM: STREAM_BATCH x 11 output planes
+# ~360 KB beside the two 512 KB stream slots)
+STREAM_BATCH = 8
+
+
+def _stream_mask_spec(mask, n_tiles, nwords, tile_r, nsub):
+    """Per-step SMEM delivery of the packed masks for streaming kernels
     (whole-array SMEM prefetch overflows the 1 MB SMEM at 500k faces x
-    1080p), plus the matching one-arg ray BlockSpec."""
-    # 3-D (T, 1, nwords) with (1, 1, nwords) blocks: Mosaic requires the
-    # last two BLOCK dims to equal the array dims (or be (8,128)-aligned)
-    mask_spec = pl.BlockSpec((1, 1, nwords), lambda i: (i, 0, 0),
+    1080p), plus the matching one-arg batched ray BlockSpec. The step's
+    block carries the nsub subtile mask rows PLUS their precomputed
+    union as row nsub (the fetch loop's scan row — see
+    _stream_word_loop)."""
+    m = mask.reshape(n_tiles, nwords)
+    nb = n_tiles // nsub
+    g = m.reshape(nb, nsub, nwords)
+    union = g[:, 0, :]
+    for b in range(1, nsub):
+        union = union | g[:, b, :]
+    m3 = jnp.concatenate([g, union[:, None, :]], axis=1)
+    # (NB, nsub+1, nwords) with (1, nsub+1, nwords) blocks: Mosaic
+    # requires the last two BLOCK dims to equal the array dims (or be
+    # (8,128)-aligned)
+    mask_spec = pl.BlockSpec((1, nsub + 1, nwords), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
+    ray_spec = pl.BlockSpec((nsub * tile_r,), lambda i: (i,),
                             memory_space=pltpu.VMEM)
-    return mask_spec, ray_spec, mask.reshape(n_tiles, 1, nwords)
+    return mask_spec, ray_spec, m3
+
+
+class _Row2View:
+    """1-D scalar indexing over a (1, 1, N) SMEM block (the per-batch
+    word order rows ride 3-D BlockSpecs — Mosaic requires the last TWO
+    block dims to equal the array dims; _stream_word_loop indexes
+    [j])."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, j):
+        return self._ref[0, 0, j]
 
 
 def _make_streaming_ch_kernel(with_nm: bool, block_f: int, sup_f: int,
-                              n_super: int):
-    """Shared-origin closest-hit with the face pack STREAMED from HBM."""
+                              n_super: int, tile_r: int, nsub: int):
+    """Shared-origin closest-hit with the face pack STREAMED from HBM,
+    nsub ray subtiles sharing each superblock fetch, words visited
+    FRONT-TO-BACK (order_ref, ascending batch-min entry t) with exact
+    early termination: a word whose entry lower bound (tlb_ref) exceeds
+    max_ray(min(best_t, root_exit)) cannot beat the lexicographic
+    (t, face) winner of any ray, so its visit — and under the sorted
+    order the rest of the sweep — is skipped (see _stream_sched)."""
     n_out = 20 if with_nm else 11
 
-    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, pack_hbm, *rest):
+    def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
+               texit_ref, pack_hbm, *rest):
         outs = rest[:n_out]
         buf0, buf1, sem0, sem1 = rest[n_out:]
-        (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
-         nx_ref, ny_ref, nz_ref, mat_ref) = outs[:11]
-        nm_refs = outs[11:] if with_nm else ()
 
-        t_ref[:] = jnp.full_like(t_ref, F32_INF)
+        outs[0][:] = jnp.full_like(outs[0], F32_INF)
         for r_ in outs[1:]:
             r_[:] = jnp.zeros_like(r_)
 
-        dx = _row1(dx_ref)
-        dy = _row1(dy_ref)
-        dz = _row1(dz_ref)
+        # per-subtile static windows into the batched refs
+        subs = []
+        for sub in range(nsub):
+            s0 = sub * tile_r
+            dx = dx_ref[s0:s0 + tile_r].reshape(1, tile_r)
+            dy = dy_ref[s0:s0 + tile_r].reshape(1, tile_r)
+            dz = dz_ref[s0:s0 + tile_r].reshape(1, tile_r)
+            views = tuple(_SubView(o, s0, tile_r) for o in outs)
+            subs.append((dx, dy, dz, views))
 
-        def visit_bit(buf, s, b):
+        def visit_bit(buf, s, b, sub):
+            dx, dy, dz, v = subs[sub]
             base = pl.multiple_of(b * block_f, block_f)
             blk = buf[pl.ds(base, block_f), :]  # (BF, STREAM_COLS) value
             g = blk[:, :FPACK_COLS]
             o = blk[:, SC_OT:SC_OT + 8]
             _ch_block(g, o, dx, dy, dz, s * sup_f + b * block_f,
-                      t_ref, face_ref, u_ref, v_ref, nd_ref,
-                      uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
-                      mat_ref, nm_refs)
+                      v[0], v[1], v[2], v[3], v[4], v[5], v[6], v[7],
+                      v[8], v[9], v[10], v[11:])
+
+        def sub_skip(sub, s):
+            s0 = sub * tile_r
+            t_v = subs[sub][3][0]
+            bound = jnp.max(jnp.minimum(t_v[:],
+                                        texit_ref[s0:s0 + tile_r]))
+            return tlb_ref[0, sub, s] > bound
+
+        def stop_word(s):
+            bound = jnp.max(jnp.minimum(outs[0][:], texit_ref[:]))
+            return tlb_ref[0, nsub, s] > bound
 
         _stream_word_loop(mask_ref, n_super, sup_f, block_f,
-                          pack_hbm, (buf0, buf1), (sem0, sem1), visit_bit)
+                          pack_hbm, (buf0, buf1), (sem0, sem1), visit_bit,
+                          nsub=nsub, sub_done_fn=sub_skip,
+                          order_ref=_Row2View(order_ref),
+                          stop_fn=stop_word)
 
     return kernel
 
 
-def _make_streaming_chp_kernel(block_f: int, sup_f: int, n_super: int):
-    """Per-ray-origin closest-hit (bounce rays), HBM-streamed faces."""
+def _make_streaming_chp_kernel(block_f: int, sup_f: int, n_super: int,
+                               tile_r: int, nsub: int):
+    """Per-ray-origin closest-hit (bounce rays), HBM-streamed faces,
+    nsub ray subtiles per fetch, front-to-back with exact early
+    termination (same schedule contract as the shared-origin kernel)."""
 
-    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
-               pack_hbm, *rest):
+    def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
+               ox_ref, oy_ref, oz_ref, texit_ref, pack_hbm, *rest):
         outs = rest[:11]
         buf0, buf1, sem0, sem1 = rest[11:]
-        (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
-         nx_ref, ny_ref, nz_ref, mat_ref) = outs
 
-        t_ref[:] = jnp.full_like(t_ref, F32_INF)
+        outs[0][:] = jnp.full_like(outs[0], F32_INF)
         for r_ in outs[1:]:
             r_[:] = jnp.zeros_like(r_)
 
-        dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
-        ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
+        subs = []
+        for sub in range(nsub):
+            s0 = sub * tile_r
+            rows = tuple(r_[s0:s0 + tile_r].reshape(1, tile_r)
+                         for r_ in (dx_ref, dy_ref, dz_ref,
+                                    ox_ref, oy_ref, oz_ref))
+            views = tuple(_SubView(o, s0, tile_r) for o in outs)
+            subs.append((rows, views))
 
-        def visit_bit(buf, s, b):
+        def visit_bit(buf, s, b, sub):
+            (dx, dy, dz, ox, oy, oz), v = subs[sub]
             base = pl.multiple_of(b * block_f, block_f)
             blk = buf[pl.ds(base, block_f), :]
             g = blk[:, :FPACK_COLS]
             dc = blk[:, SC_DC:SC_DC + 8]
             _chp_block(g, dc, dx, dy, dz, ox, oy, oz,
                        s * sup_f + b * block_f,
-                       t_ref, face_ref, u_ref, v_ref, nd_ref,
-                       uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref)
+                       v[0], v[1], v[2], v[3], v[4], v[5], v[6], v[7],
+                       v[8], v[9], v[10])
+
+        def sub_skip(sub, s):
+            s0 = sub * tile_r
+            t_v = subs[sub][1][0]
+            bound = jnp.max(jnp.minimum(t_v[:],
+                                        texit_ref[s0:s0 + tile_r]))
+            return tlb_ref[0, sub, s] > bound
+
+        def stop_word(s):
+            bound = jnp.max(jnp.minimum(outs[0][:], texit_ref[:]))
+            return tlb_ref[0, nsub, s] > bound
 
         _stream_word_loop(mask_ref, n_super, sup_f, block_f,
-                          pack_hbm, (buf0, buf1), (sem0, sem1), visit_bit)
+                          pack_hbm, (buf0, buf1), (sem0, sem1), visit_bit,
+                          nsub=nsub, sub_done_fn=sub_skip,
+                          order_ref=_Row2View(order_ref),
+                          stop_fn=stop_word)
 
     return kernel
 
 
-def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int):
+def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
+                                  tile_r: int, nsub: int):
     """Shadow any-hit with per-ray origins, HBM-streamed faces, visited
-    near-to-far along the light (order_ref) for fast early exit."""
+    near-to-far along the light (order_ref) for fast early exit; nsub
+    ray subtiles per fetch, each dropping out as soon as its own rays
+    are fully occluded (sub_done_fn)."""
 
     def kernel(mask_ref, order_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref, act_ref, pack_hbm, occ_ref,
                buf0, buf1, sem0, sem1):
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
-        dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
-        ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
+        subs = []
+        for sub in range(nsub):
+            s0 = sub * tile_r
+            rows = tuple(r_[s0:s0 + tile_r].reshape(1, tile_r)
+                         for r_ in (dx_ref, dy_ref, dz_ref,
+                                    ox_ref, oy_ref, oz_ref))
+            subs.append((rows, _SubView(act_ref, s0, tile_r),
+                         _SubView(occ_ref, s0, tile_r)))
 
-        def visit_bit(buf, s, b):
+        def visit_bit(buf, s, b, sub):
+            (dx, dy, dz, ox, oy, oz), act_v, occ_v = subs[sub]
             base = pl.multiple_of(b * block_f, block_f)
             blk = buf[pl.ds(base, block_f), :]
             g = blk[:, :FPACK_COLS]
             dc = blk[:, SC_DC:SC_DC + 8]
-            _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref)
+            _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_v, occ_v)
 
         def all_occluded():
             return jnp.min(jnp.maximum(occ_ref[:],
                                        1.0 - act_ref[:])) >= 1.0
 
+        def sub_occluded(sub, s):
+            del s
+            _, act_v, occ_v = subs[sub]
+            return jnp.min(jnp.maximum(occ_v[:], 1.0 - act_v[:])) >= 1.0
+
         _stream_word_loop(mask_ref, n_super, sup_f, block_f,
                           pack_hbm, (buf0, buf1), (sem0, sem1), visit_bit,
-                          done_fn=all_occluded, order_ref=order_ref)
+                          nsub=nsub, done_fn=all_occluded,
+                          sub_done_fn=sub_occluded, order_ref=order_ref)
 
     return kernel
 
@@ -945,6 +1169,103 @@ def _shadow_visit_order(scene: SceneData, sdx, sdy, sdz, active,
         proj = jnp.concatenate([proj, jnp.full((pad,), F32_INF)])
     key = jnp.min(proj.reshape(nwords, 32), axis=1)
     return jnp.argsort(key).astype(jnp.int32)
+
+
+def _stream_sched(scene: SceneData, mask, ox, oy, oz, dx, dy, dz,
+                  tile_r: int, nsub: int, n_super: int, act=None):
+    """Front-to-back schedule for the streaming closest-hit kernels.
+
+    Returns (tlb3, order2, texit):
+    - tlb3 (NB, nsub+1, n_super) f32: per-(subtile, superblock-word)
+      conservative ENTRY-t lower bounds (inf where the sub's mask word
+      is empty); row nsub = min over the batch's subtiles (the sorted
+      stop row);
+    - order2 (NB, n_super) i32: per-batch word visit order, ascending
+      in the batch-min entry t — front-to-back;
+    - texit (R,) f32: per-ray upper bound of the scene-root exit t (-1
+      for rays that miss the root — they can hit nothing).
+
+    Together these give the streamed sweep EXACT early termination: a
+    word whose entry lower bound exceeds max_ray(min(best_t, texit))
+    cannot improve any lexicographic (t, face) winner, so skipping it
+    (and, under the sorted order, everything after it) is bit-exact.
+    The TPU-shaped analogue of ordered BVH descent with ray shortening
+    — the per-ray program counter becomes a per-tile sorted word list
+    plus a scalar bound check per (sub, word)."""
+    # superblock AABBs: union of each word's 32 cluster boxes (isfinite
+    # guard: padding clusters carry non-finite bounds; inf - inf = NaN
+    # would poison the union)
+    finite = jnp.isfinite(scene.blk_lo) & jnp.isfinite(scene.blk_hi)
+    blo = jnp.where(finite, scene.blk_lo, F32_INF)
+    bhi = jnp.where(finite, scene.blk_hi, -F32_INF)
+    slo = jnp.min(blo.reshape(n_super, -1, 3), axis=1)  # (S,3)
+    shi = jnp.max(bhi.reshape(n_super, -1, 3), axis=1)
+
+    omin, omax, dmin, dmax = tile_ray_bounds(ox, oy, oz, dx, dy, dz,
+                                             tile_r, act)
+    a = slo[None, :, :] - omax[:, None, :]  # (T,S,3)
+    b = shi[None, :, :] - omin[:, None, :]
+    _, t0 = slab_interval_entry(a, b, dmin[:, None, :], dmax[:, None, :])
+
+    n_tiles = dx.shape[0] // tile_r
+    m = mask.reshape(n_tiles, n_super)
+    tlb = jnp.where(m != 0, t0, F32_INF)  # (T,S)
+    g = tlb.reshape(n_tiles // nsub, nsub, n_super)
+    tmin = jnp.min(g, axis=1)  # (NB,S)
+    tlb3 = jnp.concatenate([g, tmin[:, None, :]], axis=1)
+    order2 = jnp.argsort(tmin, axis=1).astype(jnp.int32)
+
+    lo = jnp.min(blo, axis=0)
+    hi = jnp.max(bhi, axis=0)
+    texit = ray_root_exit(lo, hi, ox, oy, oz, dx, dy, dz)
+    # zero-direction lanes (tile padding / parked paths) can hit
+    # nothing but would read exit = inf when their origin sits inside
+    # the root — pin them to -1 so they never hold the bound up
+    live = (dx != 0.0) | (dy != 0.0) | (dz != 0.0)
+    texit = jnp.where(live, texit, -1.0)
+    return tlb3, order2, texit
+
+
+def _vmem_sched(scene: SceneData, mask, nwords: int, ox, oy, oz,
+                dx, dy, dz, tile_r: int, f: int, block_f: int, act=None):
+    """Front-to-back schedule for the all-VMEM closest-hit kernels.
+
+    Returns (tlb (T,1,nb) f32, order (T,1,nb) i32, texit (R,) f32):
+    per-(tile, face-block) conservative entry-t lower bounds (+inf
+    where the accel mask culls the block — the mask is FOLDED into the
+    schedule, so the kernel needs no separate word scan), the per-tile
+    block visit order ascending in entry t, and the per-ray root-exit
+    cap. Same exactness contract as _stream_sched, at single-block
+    granularity."""
+    nb = f // block_f
+    n_tiles = dx.shape[0] // tile_r
+    omin, omax, dmin, dmax = tile_ray_bounds(ox, oy, oz, dx, dy, dz,
+                                             tile_r, act)
+    finite = jnp.isfinite(scene.blk_lo) & jnp.isfinite(scene.blk_hi)
+    blo = jnp.where(finite, scene.blk_lo, F32_INF)
+    bhi = jnp.where(finite, scene.blk_hi, -F32_INF)
+    a = blo[None, :, :] - omax[:, None, :]
+    b = bhi[None, :, :] - omin[:, None, :]
+    _, t0 = slab_interval_entry(a, b, dmin[:, None, :], dmax[:, None, :])
+
+    cull = f // scene.blk_lo.shape[0]
+    if block_f > cull:
+        t0 = t0.reshape(n_tiles, -1, block_f // cull).min(axis=2)
+    elif block_f < cull:
+        t0 = jnp.repeat(t0, cull // block_f, axis=1)
+
+    words = mask.reshape(n_tiles, nwords)
+    c = jnp.arange(nb)
+    bits = (words[:, c >> 5] >> (c & 31)) & 1
+    tlb = jnp.where(bits != 0, t0, F32_INF)
+    order = jnp.argsort(tlb, axis=1).astype(jnp.int32)
+
+    lo = jnp.min(blo, axis=0)
+    hi = jnp.max(bhi, axis=0)
+    texit = ray_root_exit(lo, hi, ox, oy, oz, dx, dy, dz)
+    live = (dx != 0.0) | (dy != 0.0) | (dz != 0.0)
+    texit = jnp.where(live, texit, -1.0)
+    return tlb[:, None, :], order[:, None, :], texit
 
 
 def _should_stream(f: int, block_f: int) -> bool:
@@ -1023,17 +1344,18 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     frames (normal-mapping path). accel picks the mask strategy
     (brute/cull/bvh, see _mask_words); stream=None auto-selects the
     HBM-streaming kernel for face packs too big for VMEM."""
-    nrays = dx.shape[0]
-    dx = _pad1(dx, tile_r)
-    dy = _pad1(dy, tile_r)
-    dz = _pad1(dz, tile_r)
-    r = dx.shape[0]
-
     f = scene.tri_p0.shape[0]
     block_f = min(block_f, f)
     assert f % block_f == 0, (f, block_f)
     if stream is None:
         stream = _should_stream(f, block_f)
+
+    nrays = dx.shape[0]
+    pad_to = tile_r * (STREAM_BATCH if stream else 1)
+    dx = _pad1(dx, pad_to)
+    dy = _pad1(dy, pad_to)
+    dz = _pad1(dz, pad_to)
+    r = dx.shape[0]
 
     oterm = pack_origin_cols(scene, origin)
     if stream:
@@ -1050,9 +1372,6 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
 
     n_out = 20 if with_nm else 11
     grid = (r // tile_r,)  # face-cluster loop runs inside the kernel
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
-                            memory_space=pltpu.VMEM)
-    out_specs = [ray_spec] * n_out
     out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
                  for _ in range(n_out)]
     out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
@@ -1060,40 +1379,56 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     if stream:
         n_super = f // SUPER_F
         assert nwords == n_super, (nwords, n_super)
-        mask_spec, ray_spec_s, mask2d = _stream_mask_spec(mask, grid[0],
-                                                          nwords, tile_r)
+        nsub = STREAM_BATCH
+        grid = (r // (tile_r * nsub),)
+        mask_spec, ray_spec_s, mask3 = _stream_mask_spec(
+            mask, r // tile_r, nwords, tile_r, nsub)
+        tlb3, order2, texit = _stream_sched(
+            scene, mask, origin[0], origin[1], origin[2], dx, dy, dz,
+            tile_r, nsub, n_super)
+        tlb_spec = pl.BlockSpec((1, nsub + 1, n_super),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM)
+        order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.SMEM)
         outs = pl.pallas_call(
-            _make_streaming_ch_kernel(with_nm, block_f, SUPER_F, n_super),
+            _make_streaming_ch_kernel(with_nm, block_f, SUPER_F, n_super,
+                                      tile_r, nsub),
             grid=grid,
             in_specs=[
-                mask_spec, ray_spec_s, ray_spec_s, ray_spec_s,
+                mask_spec, order_spec, tlb_spec,
+                ray_spec_s, ray_spec_s, ray_spec_s, ray_spec_s,
                 pl.BlockSpec(memory_space=pl.ANY),  # face pack stays HBM
             ],
             out_specs=[ray_spec_s] * n_out,
             out_shape=out_shape,
             scratch_shapes=_stream_scratch(),
             interpret=interpret,
-        )(mask2d, dx, dy, dz, spack)
+        )(mask3, order2[:, None, :], tlb3, dx, dy, dz, texit, spack)
     else:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # the cull mask rides SMEM
+        nb = f // block_f
+        tlb, order, texit = _vmem_sched(scene, mask, nwords,
+                                        origin[0], origin[1], origin[2],
+                                        dx, dy, dz, tile_r, f, block_f)
+        sched_spec = pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.SMEM)
+        ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
+                                memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            _make_closest_hit_kernel(with_nm, block_f, nb),
             grid=grid,
             in_specs=[
-                ray_spec, ray_spec, ray_spec,
-                pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
+                sched_spec, sched_spec,
+                ray_spec, ray_spec, ray_spec, ray_spec,
+                pl.BlockSpec((f, FPACK_COLS), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f, 8), lambda i, m: (0, 0),
+                pl.BlockSpec((f, 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=out_specs,
-        )
-        outs = pl.pallas_call(
-            _make_closest_hit_kernel(with_nm, block_f, f // block_f,
-                                     nwords),
-            grid_spec=grid_spec,
+            out_specs=[ray_spec] * n_out,
             out_shape=out_shape,
             interpret=interpret,
-        )(mask, dx, dy, dz, fpack, oterm)
+        )(tlb, order, dx, dy, dz, texit, fpack, oterm)
 
     outs = [o[:nrays] for o in outs]
     t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = outs[:11]
@@ -1113,15 +1448,16 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
                           stream: Optional[bool] = None) -> GBuffer:
     """Closest-hit G-buffer for PER-RAY-origin planar rays (bounce rays).
     Terminated paths should carry dirs == 0 (they cannot hit)."""
-    nrays = dx.shape[0]
-    planes = [_pad1(a, tile_r) for a in (dx, dy, dz, ox, oy, oz)]
-    r = planes[0].shape[0]
-
     f = scene.tri_p0.shape[0]
     block_f = min(block_f, f)
     assert f % block_f == 0
     if stream is None:
         stream = _should_stream(f, block_f)
+
+    nrays = dx.shape[0]
+    pad_to = tile_r * (STREAM_BATCH if stream else 1)
+    planes = [_pad1(a, pad_to) for a in (dx, dy, dz, ox, oy, oz)]
+    r = planes[0].shape[0]
 
     dxp, dyp, dzp, oxp, oyp, ozp = planes
     # parked (terminated) rays carry all-zero directions — at streaming
@@ -1133,51 +1469,64 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
                                interpret, act=live)
 
     grid = (r // tile_r,)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
-                            memory_space=pltpu.VMEM)
-    out_specs = [ray_spec] * 11
     out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(11)]
     out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
 
     if stream:
         n_super = f // SUPER_F
         assert nwords == n_super, (nwords, n_super)
+        nsub = STREAM_BATCH
+        grid = (r // (tile_r * nsub),)
         spack = _stream_pack(scene)
-        mask_spec, ray_spec_s, mask2d = _stream_mask_spec(mask, grid[0],
-                                                          nwords, tile_r)
+        mask_spec, ray_spec_s, mask3 = _stream_mask_spec(
+            mask, r // tile_r, nwords, tile_r, nsub)
+        tlb3, order2, texit = _stream_sched(
+            scene, mask, oxp, oyp, ozp, dxp, dyp, dzp,
+            tile_r, nsub, n_super, act=live)
+        tlb_spec = pl.BlockSpec((1, nsub + 1, n_super),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM)
+        order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.SMEM)
         outs = pl.pallas_call(
-            _make_streaming_chp_kernel(block_f, SUPER_F, n_super),
+            _make_streaming_chp_kernel(block_f, SUPER_F, n_super,
+                                       tile_r, nsub),
             grid=grid,
-            in_specs=[mask_spec] + [ray_spec_s] * 6 + [
+            in_specs=[mask_spec, order_spec, tlb_spec]
+            + [ray_spec_s] * 7 + [
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[ray_spec_s] * 11,
             out_shape=out_shape,
             scratch_shapes=_stream_scratch(),
             interpret=interpret,
-        )(mask2d, *planes, spack)
+        )(mask3, order2[:, None, :], tlb3, *planes, texit, spack)
     else:
         fpack = pack_face_columns(scene)
         dc = jnp.concatenate(
             [scene.tri_d[:, None], scene.tri_c,
              jnp.zeros((f, 4), jnp.float32)], axis=1)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+        nb = f // block_f
+        tlb, order, texit = _vmem_sched(scene, mask, nwords,
+                                        oxp, oyp, ozp, dxp, dyp, dzp,
+                                        tile_r, f, block_f)
+        sched_spec = pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.SMEM)
+        ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
+                                memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            _make_closest_hit_perray_kernel(block_f, nb),
             grid=grid,
-            in_specs=[ray_spec] * 6 + [
-                pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
+            in_specs=[sched_spec, sched_spec] + [ray_spec] * 7 + [
+                pl.BlockSpec((f, FPACK_COLS), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f, 8), lambda i, m: (0, 0),
+                pl.BlockSpec((f, 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=out_specs,
-        )
-        outs = pl.pallas_call(
-            _make_closest_hit_perray_kernel(block_f, f // block_f, nwords),
-            grid_spec=grid_spec,
+            out_specs=[ray_spec] * 11,
             out_shape=out_shape,
             interpret=interpret,
-        )(mask, *planes, fpack, dc)
+        )(tlb, order, *planes, texit, fpack, dc)
 
     t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = [o[:nrays] for o in outs]
     return GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
@@ -1191,16 +1540,17 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
                   interpret: bool = False, accel: str = "cull",
                   stream: Optional[bool] = None):
     """Planar any-hit: returns (R,) bool occlusion for per-ray origins."""
-    nrays = dx.shape[0]
-    args = [_pad1(a, tile_r) for a in (dx, dy, dz, ox, oy, oz)]
-    act = _pad1(active.astype(jnp.float32), tile_r)
-    r = args[0].shape[0]
-
     f = scene.tri_p0.shape[0]
     block_f = min(block_f, f)
     assert f % block_f == 0
     if stream is None:
         stream = _should_stream(f, block_f)
+
+    nrays = dx.shape[0]
+    pad_to = tile_r * (STREAM_BATCH if stream else 1)
+    args = [_pad1(a, pad_to) for a in (dx, dy, dz, ox, oy, oz)]
+    act = _pad1(active.astype(jnp.float32), pad_to)
+    r = args[0].shape[0]
 
     dxp, dyp, dzp, oxp, oyp, ozp = args
     # act-aware bounds only pay at streaming scale: a real/parked mixed
@@ -1220,13 +1570,16 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
     if stream:
         n_super = f // SUPER_F
         assert nwords == n_super, (nwords, n_super)
+        nsub = STREAM_BATCH
+        grid = (r // (tile_r * nsub),)
         spack = _stream_pack(scene)
-        mask_spec, ray_spec_s, mask2d = _stream_mask_spec(mask, grid[0],
-                                                          nwords, tile_r)
+        mask_spec, ray_spec_s, mask3 = _stream_mask_spec(
+            mask, r // tile_r, nwords, tile_r, nsub)
         order_spec = pl.BlockSpec((n_super,), lambda i: (0,),
                                   memory_space=pltpu.SMEM)
         occ = pl.pallas_call(
-            _make_streaming_anyhit_kernel(block_f, SUPER_F, n_super),
+            _make_streaming_anyhit_kernel(block_f, SUPER_F, n_super,
+                                          tile_r, nsub),
             grid=grid,
             in_specs=[mask_spec, order_spec] + [ray_spec_s] * 7 + [
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -1235,7 +1588,7 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
             out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
             scratch_shapes=_stream_scratch(),
             interpret=interpret,
-        )(mask2d, order, *args, act, spack)
+        )(mask3, order, *args, act, spack)
     else:
         fpack = pack_face_columns(scene)
         dc = jnp.concatenate(

@@ -50,16 +50,20 @@ from .raygen import ndc_grid
 F32_INF = float("inf")
 
 
-def _jittered_dirs(width, height, uni: CameraUniforms, key, tiled: bool):
+def _jittered_dirs(width, height, uni: CameraUniforms, key, tiled: bool,
+                   row0=None, total_height=None):
     """raygen + per-pixel sub-pixel jitter (anti-aliasing). With `tiled`
     the rays come in (8 x 128)-pixel screen-tile order (see megakernel):
     bounce rays inherit the spatial coherence and the cluster culling
-    keeps working on secondary rays."""
+    keeps working on secondary rays. row0/total_height select a
+    row-slab viewport of a taller image (multi-chip dp sharding, same
+    contract as megakernel.raygen_planar)."""
     proj_inv = jnp.asarray(uni.proj_inv_wgpu, jnp.float32)
     view_inv = jnp.asarray(uni.view_inv, jnp.float32)
     m = jnp.matmul(view_inv[:3, :3], proj_inv[:3, :], precision=HI)
     const = m[:, 2] + m[:, 3]
 
+    th = total_height or height
     r = width * height
     if tiled:
         tiles_x = width // 128
@@ -68,10 +72,17 @@ def _jittered_dirs(width, height, uni: CameraUniforms, key, tiled: bool):
         within = ridx % 1024
         py = (tile // tiles_x) * 8 + within // 128
         px = (tile % tiles_x) * 128 + within % 128
+        yb = py.astype(jnp.float32)
+        if row0 is not None:
+            yb = yb + row0
         xr = (2.0 * (px.astype(jnp.float32) + 0.5) / width) - 1.0
-        yr = (2.0 * (py.astype(jnp.float32) + 0.5) / height) - 1.0
+        yr = (2.0 * (yb + 0.5) / th) - 1.0
     else:
-        x_nds, y_nds = ndc_grid(width, height)
+        x_nds, _ = ndc_grid(width, th)
+        y_idx = jnp.arange(height, dtype=jnp.float32)
+        if row0 is not None:
+            y_idx = y_idx + row0
+        y_nds = (2.0 * (y_idx + 0.5) / th) - 1.0
         xr = jnp.tile(x_nds, height)
         yr = jnp.repeat(y_nds, width)
     kx, ky = jax.random.split(key)
@@ -137,16 +148,19 @@ def _closest_surface(gb_hit, gb, sph):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "height", "bounces", "spp", "background", "interpret"))
+    "width", "height", "bounces", "spp", "background", "interpret",
+    "total_height"))
 def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
                      height: int, bounces: int = 4, spp: int = 1,
                      background=(0.0, 0.0, 0.0), interpret: bool = False,
-                     accum=None):
+                     accum=None, row0=None, total_height=None):
     """Trace `spp` full paths per pixel; returns the SUM of radiance
     (H, W, 3) — caller divides by total accumulated spp (progressive
     accumulation lives in the Renderer). accum (optional, (H, W, 3)):
     running radiance sum folded into the SAME jit — a separate eager
-    add costs a ~3 ms dispatch per frame on tunneled backends."""
+    add costs a ~3 ms dispatch per frame on tunneled backends.
+    row0/total_height: render a row slab of a taller image (multi-chip
+    dp sharding — see parallel.tile_sharding.render_pathtrace_sharded)."""
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     r = width * height
     has_mesh = scene.num_faces > 0
@@ -159,7 +173,8 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
 
     for s in range(spp):
         ks = jax.random.fold_in(key, s)
-        dx, dy, dz = _jittered_dirs(width, height, uni, ks, tiled)
+        dx, dy, dz = _jittered_dirs(width, height, uni, ks, tiled,
+                                    row0=row0, total_height=total_height)
         ox = jnp.full((r,), uni.origin[0])
         oy = jnp.full((r,), uni.origin[1])
         oz = jnp.full((r,), uni.origin[2])

@@ -42,6 +42,19 @@ def slab_interval_ok(a, b, dn, dp):
     t >= 0 can reach the box for SOME ray in the interval bounds.
     Exact same math as ops/bvh.py:tile_cull_mask_np (NumPy reference).
     """
+    ok, _ = slab_interval_entry(a, b, dn, dp)
+    return ok
+
+
+def slab_interval_entry(a, b, dn, dp):
+    """slab_interval_ok plus the conservative ENTRY-t lower bound.
+
+    Returns (ok (...,) bool, t0 (...,) f32): t0 <= the true entry
+    parameter of EVERY ray in the interval family that reaches the box
+    (clamped to >= 0); +inf where the box is unreachable. The streaming
+    kernels' front-to-back early termination keys on this — a word
+    whose t0 exceeds every ray's current best (or root exit) cannot
+    change any result (see _stream_word_loop)."""
     mixed = (dn <= 0.0) & (dp >= 0.0)
     zero = (dn == 0.0) & (dp == 0.0)  # parked rays (direction == 0)
     pos = dn > 0.0
@@ -60,7 +73,36 @@ def slab_interval_ok(a, b, dn, dp):
     box_ok = jnp.all(b >= a, axis=-1)
     t0 = jnp.max(lo_t, axis=-1)
     t1 = jnp.min(hi_t, axis=-1)
-    return box_ok & (t1 >= 0.0) & (t1 >= t0)
+    ok = box_ok & (t1 >= 0.0) & (t1 >= t0)
+    # deflate by ~100 f32 division ulps so rounding can never lift the
+    # bound above a true entry (exactness of the early-exit skip)
+    t0_lb = jnp.maximum(t0, 0.0) * (1.0 - 1e-5) - 1e-6
+    return ok, jnp.where(ok, t0_lb, F32_INF)
+
+
+def ray_root_exit(lo, hi, ox, oy, oz, dx, dy, dz):
+    """Per-ray conservative UPPER bound of the exit parameter from the
+    scene root AABB [lo, hi] ((3,) each); -1.0 for rays that miss the
+    root entirely (they can hit nothing — every face lies inside the
+    root, so any true hit satisfies t <= exit). Inflated by ~100 ulps
+    against division rounding. ox.. may be scalars (shared origin)."""
+    t0 = jnp.zeros_like(dx)
+    t1 = jnp.full_like(dx, F32_INF)
+    for a, (o, d) in enumerate(((ox, dx), (oy, dy), (oz, dz))):
+        d_safe = jnp.where(d == 0.0, 1.0, d)
+        ta = (lo[a] - o) / d_safe
+        tb = (hi[a] - o) / d_safe
+        tn = jnp.minimum(ta, tb)
+        tf = jnp.maximum(ta, tb)
+        inside = (o >= lo[a]) & (o <= hi[a])
+        tn = jnp.where(d == 0.0,
+                       jnp.where(inside, 0.0, F32_INF), tn)
+        tf = jnp.where(d == 0.0,
+                       jnp.where(inside, F32_INF, -F32_INF), tf)
+        t0 = jnp.maximum(t0, tn)
+        t1 = jnp.minimum(t1, tf)
+    hit = t1 >= t0
+    return jnp.where(hit, t1 * (1.0 + 1e-5) + 1e-6, -1.0)
 
 
 def _tile_minmax(x, tile_r, act=None):

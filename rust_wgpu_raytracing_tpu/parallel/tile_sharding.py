@@ -180,6 +180,49 @@ def render_sharded_megakernel(scene: SceneData, uni_flat, mesh: Mesh, *,
     return tiles.reshape(height, width, 3)
 
 
+def render_pathtrace_sharded(scene: SceneData, uni_flat, key, mesh: Mesh, *,
+                             width: int, height: int, bounces: int = 4,
+                             spp: int = 1, background=(0.0, 0.0, 0.0),
+                             interpret: Optional[bool] = None):
+    """Multi-chip path tracing: image rows sharded over 'dp', jittered
+    path samples over 'sp' (each sp rank traces its own fold of the key;
+    the radiance MEAN rides a psum over ICI). The scale-out analogue of
+    the reference's per-pixel dispatch (src/lib.rs:1183) applied to the
+    path-traced extension. Returns the replicated (H, W, 3) MEAN
+    radiance over all sp*spp samples (unlike single-device
+    render_pathtrace, which returns the spp SUM — the collective divides
+    here because only this function knows the mesh-wide sample count)."""
+    import jax as _jax
+
+    from ..ops.pathtrace import render_pathtrace
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert height % dp == 0
+    rows = height // dp
+
+    def shard_fn(scene_rep, uni_rep, key_rep):
+        dpi = jax.lax.axis_index("dp")
+        spi = jax.lax.axis_index("sp")
+        row0 = (dpi * rows).astype(jnp.float32)
+        # decorrelate jitter/bounce sampling across BOTH mesh axes
+        k = jax.random.fold_in(jax.random.fold_in(key_rep[0], spi), dpi)
+        color = render_pathtrace(
+            scene_rep, uni_rep, k, width=width, height=rows,
+            bounces=bounces, spp=spp, background=background,
+            interpret=interpret, row0=row0, total_height=height)
+        color = jax.lax.psum(color, "sp") / (spp * sp)
+        return color[None]
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(), P()), out_specs=P("dp"),
+                   check_vma=False)
+    tiles = fn(scene, jnp.asarray(uni_flat, jnp.float32), key[None])
+    return tiles.reshape(height, width, 3)
+
+
 # ---------------------------------------------------------------------------
 # Inverse rendering: the sharded training step (dp x sp collectives)
 # ---------------------------------------------------------------------------
@@ -281,6 +324,14 @@ def dryrun_multichip(n_devices: int) -> None:
     color_mk = render_sharded_megakernel(scene.data, uni, mesh,
                                          width=W, height=H)
     assert color_mk.shape == (H, W, 3)
+
+    # sharded path-tracing step (dp rows x sp samples, psum'd radiance)
+    color_pt = render_pathtrace_sharded(
+        scene.data, uni, jax.random.PRNGKey(0), mesh,
+        width=W, height=H, bounces=1, spp=1)
+    jax.block_until_ready(color_pt)
+    assert color_pt.shape == (H, W, 3)
+    assert bool(jnp.all(jnp.isfinite(color_pt)))
 
     # full training step: differentiable render + psum'd grads + update
     params = {

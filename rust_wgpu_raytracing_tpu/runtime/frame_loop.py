@@ -65,16 +65,18 @@ def classify_render_error(exc: BaseException) -> str:
 class FrameLoop:
     def __init__(self, renderer: Renderer,
                  present: Optional[Callable[[np.ndarray], None]] = None,
-                 max_fps: Optional[float] = None):
+                 max_fps: Optional[float] = None, pipeline: bool = True):
         self.renderer = renderer
         self.present = present
         self.max_fps = max_fps
+        self.pipeline = pipeline
         self.events: "queue.Queue[KeyEvent]" = queue.Queue()
         self.profiler = Profiler()
         self.running = False
         self.frame_index = 0
         self._stopped = False  # sticky: a stop() before run() must win
         self._resize_req: Optional[tuple] = None
+        self._inflight = None  # device framebuffer of the youngest dispatch
 
     # --- input path (State::input, src/lib.rs:990-992) ---
     def push_key(self, key: str, pressed: bool = True):
@@ -133,11 +135,36 @@ class FrameLoop:
                 # deterministic programming error: surface as itself
                 self.running = False
                 raise
-        img = self.renderer.present_image()
+        # Present-overlap pipeline: render() only DISPATCHES (async);
+        # fetch + encode the PREVIOUS frame while this one computes, so
+        # the tunneled-chip host round trip (~25-30 ms) hides behind
+        # render instead of serializing with it (the reference's
+        # output.present() has no such latency to hide, src/lib.rs:1227).
+        # One frame of presentation latency; run()/flush() drain the
+        # final in-flight frame so every rendered frame is presented.
+        img = None
+        if self.pipeline:
+            prev, self._inflight = self._inflight, \
+                getattr(self.renderer, "_last", (None,))[0]
+            if prev is not None:
+                img = self.renderer.present_image(color=prev)
+        else:
+            img = self.renderer.present_image()
         self.profiler.record((time.perf_counter() - t0) * 1e3)
-        if self.present is not None:
+        if img is not None and self.present is not None:
             self.present(img)
         self.frame_index += 1
+        return img
+
+    def flush(self) -> Optional[np.ndarray]:
+        """Present the youngest dispatched-but-unpresented frame (the
+        pipeline's one-frame latency tail)."""
+        color, self._inflight = self._inflight, None
+        if color is None:
+            return None
+        img = self.renderer.present_image(color=color)
+        if self.present is not None:
+            self.present(img)
         return img
 
     def run(self, n_frames: Optional[int] = None):
@@ -156,6 +183,7 @@ class FrameLoop:
                 if budget > 0:
                     time.sleep(budget)
         self.running = False
+        self.flush()
 
     def run_async(self, n_frames: Optional[int] = None) -> threading.Thread:
         th = threading.Thread(target=self.run, args=(n_frames,), daemon=True)

@@ -167,8 +167,12 @@ class Renderer:
             self.config, render=dc.replace(self.config.render, **kw))
 
     # --- presentation (screenquad.wgsl analogue) ---
-    def present_image(self, srgb: bool = True) -> np.ndarray:
-        color, _ = getattr(self, "_last", (None, None))
+    def present_image(self, srgb: bool = True, color=None) -> np.ndarray:
+        """Fetch + encode a framebuffer (the latest render by default;
+        pass `color` to present an older device array — the pipelined
+        FrameLoop presents frame k-1 while frame k renders)."""
+        if color is None:
+            color, _ = getattr(self, "_last", (None, None))
         if color is None:
             color, _ = self.render()
         return framebuffer_to_image(jax.device_get(color), srgb=srgb)

@@ -35,6 +35,31 @@ class TestFrameLoop:
         assert loop.profiler.summary()["frames"] == 3
 
 
+    def test_pipeline_presents_previous_frame_and_flushes_tail(self):
+        """Present-overlap: step k presents frame k-1 (the fetch hides
+        behind frame k's render); run() flushes the in-flight tail so
+        every rendered frame is presented exactly once."""
+        r = tiny_renderer()
+        frames = []
+        loop = FrameLoop(r, present=frames.append)
+        assert loop.pipeline
+        first = loop.step()
+        assert first is None  # nothing to present yet: frame 0 in flight
+        second = loop.step()
+        assert second is not None  # frame 0, fetched during frame 1
+        tail = loop.flush()
+        assert tail is not None  # frame 1
+        assert loop.flush() is None  # idempotent
+        assert len(frames) == 2
+
+    def test_pipeline_off_presents_current_frame(self):
+        r = tiny_renderer()
+        loop = FrameLoop(r, pipeline=False)
+        img = loop.step()
+        assert img is not None and img.shape == (32, 32, 3)
+        assert loop.flush() is None
+
+
 class TestServer:
     def test_endpoints(self):
         from rust_wgpu_raytracing_tpu.runtime.server import RenderServer

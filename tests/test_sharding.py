@@ -104,6 +104,42 @@ class TestShardedMegakernel:
 
 
 @needs_8dev
+class TestShardedPathtrace:
+    def test_matches_single_device_slab_composition(self):
+        """dp x sp sharded path tracing == the same per-slab single-
+        device renders averaged over the sp sample axis (the psum is the
+        only collective; a permutation of pure per-slab work)."""
+        from rust_wgpu_raytracing_tpu.ops.pathtrace import render_pathtrace
+        from rust_wgpu_raytracing_tpu.parallel.tile_sharding import (
+            render_pathtrace_sharded)
+
+        scene, cfg = small_scene()
+        cam = Camera.from_config(cfg.camera, aspect=2.0)
+        uni = cam.uniforms().flat()
+        mesh = make_render_mesh(8, sp=2)  # dp=4 x sp=2
+        key = jax.random.PRNGKey(7)
+        W, H, rows = 64, 32, 32 // 4
+        sharded = render_pathtrace_sharded(
+            scene.data, uni, key, mesh, width=W, height=H,
+            bounces=1, spp=1)
+        assert sharded.shape == (H, W, 3)
+
+        slabs = []
+        for dpi in range(4):
+            acc = 0.0
+            for spi in range(2):
+                k = jax.random.fold_in(jax.random.fold_in(key, spi), dpi)
+                acc = acc + render_pathtrace(
+                    scene.data, jnp.asarray(uni), k, width=W, height=rows,
+                    bounces=1, spp=1, interpret=True,
+                    row0=jnp.float32(dpi * rows), total_height=H)
+            slabs.append(np.asarray(acc) / 2.0)
+        single = np.concatenate(slabs, axis=0)
+        assert np.isfinite(single).all() and single.max() > 0
+        np.testing.assert_allclose(np.asarray(sharded), single, atol=2e-5)
+
+
+@needs_8dev
 class TestShardedStreaming:
     def test_streamed_scene_row_slabs_match_single(self, monkeypatch):
         """Multi-chip row-slab sharding composed with the HBM-streaming
