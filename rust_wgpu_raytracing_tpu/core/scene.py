@@ -39,6 +39,13 @@ FACE_PAD = 128
 # faces are Morton-sorted and grouped; per-tile interval culling skips
 # whole clusters (see ops/bvh.py and ops/megakernel.py).
 CULL_BLOCK = 32
+# Small scenes cull at finer granularity: at 111 faces (suzanne) a
+# 32-face cluster covers a whole quadrant of the mesh and a dense-view
+# ray tests ~every face; 8-face clusters cut the tested faces ~2x
+# (measured: 1080p dense gbuffer 8.8 -> 6.9 ms). The kernels read the
+# granularity off blk_lo's shape, so this is scene-local.
+SMALL_CULL_BLOCK = 8
+SMALL_CLUSTER_FACES = 4096
 # HBM-streaming superblock: 32 clusters = one packed mask word. Scenes
 # beyond STREAM_FACES no longer fit the all-VMEM kernels ((F,40) f32 at
 # 100k faces ~ 16 MB, at/over v5e VMEM); they pad to SUPER_F and the
@@ -367,23 +374,25 @@ class Scene:
 
             (p0, n, d, g, c, inv_denom, uv3, vn3, tangent,
              bitangent) = _precompute_faces(positions, uvs, normals, faces)
+            cull = (SMALL_CULL_BLOCK if num_faces <= SMALL_CLUSTER_FACES
+                    else CULL_BLOCK)
             blk_lo, blk_hi = cluster_aabbs(
                 _pad_rows(positions[faces[:, 0]], padded),
                 _pad_rows(positions[faces[:, 1]], padded),
                 _pad_rows(positions[faces[:, 2]], padded),
-                CULL_BLOCK, num_faces)
+                cull, num_faces)
 
             # LBVH over the REAL cluster leaves. Leaf Morton keys are the
             # sorted face codes sampled at cluster starts — guaranteed
             # non-decreasing (the Karras build requires sorted codes;
             # ties break by index).
-            n_real_clusters = -(-num_faces // CULL_BLOCK)
+            n_real_clusters = -(-num_faces // cull)
             centroids_sorted = (positions[faces[:, 0]]
                                 + positions[faces[:, 1]]
                                 + positions[faces[:, 2]]) / 3.0
             codes_sorted = morton3d(centroids_sorted)
             cluster_codes = codes_sorted[np.arange(n_real_clusters)
-                                         * CULL_BLOCK]
+                                         * cull]
             bvh = build_lbvh(cluster_codes,
                              blk_lo[:n_real_clusters].copy(),
                              blk_hi[:n_real_clusters].copy())

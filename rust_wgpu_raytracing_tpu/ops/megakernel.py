@@ -484,22 +484,22 @@ def _chp_block(g, dc, dx, dy, dz, ox, oy, oz, face_base,
     merge(mat_ref, pick(jnp.broadcast_to(col(g, _C_MAT), tm.shape)))
 
 
-def _make_anyhit_kernel(block_f: int, n_blocks: int, nwords: int):
+def _make_anyhit_kernel(block_f: int, n_blocks: int):
     """Shadow any-hit with PER-RAY origins (planar, in-kernel cluster
     loop). act_ref masks rays that need testing (inactive rays stay
-    unoccluded). dc_ref (F, 8): cols [d, c0, c1, c2, 0...]. Words are
-    visited in order_ref order (near-to-far along the light) so the
-    all-occluded early exit fires after the first blocking geometry."""
+    unoccluded). dc_ref (F, 8): cols [d, c0, c1, c2, 0...]. Blocks are
+    visited in ascending ENTRY-t order with the bound capped at each
+    still-unoccluded active ray's scene-root exit (see the streaming
+    any-hit kernel for the exactness argument) — the all-occluded early
+    exit falls out (every ray occluded/inactive -> bound -1 -> stop)."""
 
-    def kernel(mask_ref, order_ref, dx_ref, dy_ref, dz_ref,
-               ox_ref, oy_ref, oz_ref, act_ref, fpack_ref, dc_ref,
-               occ_ref):
-        i = pl.program_id(0)
+    def kernel(tlb_ref, order_ref, dx_ref, dy_ref, dz_ref,
+               ox_ref, oy_ref, oz_ref, act_ref, texit_ref,
+               fpack_ref, dc_ref, occ_ref):
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
         dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
-        nb = n_blocks
 
         def visit(jj):
             base = pl.multiple_of(jj * block_f, block_f)
@@ -507,13 +507,11 @@ def _make_anyhit_kernel(block_f: int, n_blocks: int, nwords: int):
             dc = dc_ref[pl.ds(base, block_f), :]
             _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref)
 
-        def all_occluded():
-            # every ray either occluded or inactive -> stop visiting
-            return jnp.min(jnp.maximum(occ_ref[:],
-                                       1.0 - act_ref[:])) >= 1.0
+        def bound():
+            live = act_ref[:] * (1.0 - occ_ref[:])
+            return jnp.max(jnp.where(live > 0.0, texit_ref[:], -1.0))
 
-        _mask_word_loop(mask_ref, nwords, nb, i, visit,
-                        done_fn=all_occluded, order_ref=order_ref)
+        _ordered_cluster_loop(tlb_ref, order_ref, n_blocks, visit, bound)
 
     return kernel
 
@@ -601,7 +599,8 @@ def _make_fused_extend_shadow_kernel(block_f: int, n_blocks: int,
                                              "interpret", "accel"))
 def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
                          sox, soy, soz, sdx, sdy, sdz, active, *,
-                         tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                         tile_r: int = TILE_R,
+                         block_f: Optional[int] = None,
                          interpret: bool = False, accel: str = "cull"):
     """Fused per-bounce sweep: closest-hit for extension rays
     (ox..,dx..) AND any-hit occlusion for shadow rays (sox..,sdx..,
@@ -618,7 +617,9 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
     The permutation is exact — results are scattered back to ray order.
     """
     f = scene.tri_p0.shape[0]
-    if _should_stream(f, min(block_f, f)):
+    bf_probe = _natural_block_f(scene, f) if block_f is None \
+        else min(block_f, f)
+    if _should_stream(f, bf_probe):
         perm = _bounce_sort_perm(scene, ox, oy, oz, dx, dy, dz)
         pv = _permute_planes([ox, oy, oz, dx, dy, dz,
                               sox, soy, soz, sdx, sdy, sdz,
@@ -654,7 +655,8 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
     act = _pad1(active.astype(jnp.float32), tile_r)
     r = planes[0].shape[0]
 
-    block_f = min(block_f, f)
+    block_f = _natural_block_f(scene, f) if block_f is None \
+        else min(block_f, f)
     assert f % block_f == 0
 
     fpack = pack_face_columns(scene)
@@ -1100,14 +1102,23 @@ def _make_streaming_chp_kernel(block_f: int, sup_f: int, n_super: int,
 
 def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
                                   tile_r: int, nsub: int):
-    """Shadow any-hit with per-ray origins, HBM-streamed faces, visited
-    near-to-far along the light (order_ref) for fast early exit; nsub
-    ray subtiles per fetch, each dropping out as soon as its own rays
-    are fully occluded (sub_done_fn)."""
+    """Shadow any-hit with per-ray origins, HBM-streamed faces; nsub ray
+    subtiles per fetch. Words are visited in ascending batch-min ENTRY-t
+    order (the generalization of round 2's near-to-far light sort) with
+    two exact pruning rules on top of the occlusion early exit:
+    - a subtile skips word s when tlb[sub, s] > max over its
+      still-unoccluded active rays of the scene-root exit t — a LIT ray
+      must prove the absence of occluders, but any real occluder is met
+      BEFORE the ray leaves the root box, so clusters entered beyond
+      every ray's exit cannot change occlusion (this is what caps the
+      'prove absence' sweep for grazing shadow directions, where the
+      conservative tile cull admits a thick slab of phantom clusters);
+    - under the sorted order the same bound stops the whole batch
+      (fetches included)."""
 
-    def kernel(mask_ref, order_ref, dx_ref, dy_ref, dz_ref,
-               ox_ref, oy_ref, oz_ref, act_ref, pack_hbm, occ_ref,
-               buf0, buf1, sem0, sem1):
+    def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
+               ox_ref, oy_ref, oz_ref, act_ref, texit_ref, pack_hbm,
+               occ_ref, buf0, buf1, sem0, sem1):
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
         subs = []
@@ -1117,58 +1128,44 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
                          for r_ in (dx_ref, dy_ref, dz_ref,
                                     ox_ref, oy_ref, oz_ref))
             subs.append((rows, _SubView(act_ref, s0, tile_r),
-                         _SubView(occ_ref, s0, tile_r)))
+                         _SubView(occ_ref, s0, tile_r),
+                         _SubView(texit_ref, s0, tile_r)))
 
         def visit_bit(buf, s, b, sub):
-            (dx, dy, dz, ox, oy, oz), act_v, occ_v = subs[sub]
+            (dx, dy, dz, ox, oy, oz), act_v, occ_v, _ = subs[sub]
             base = pl.multiple_of(b * block_f, block_f)
             blk = buf[pl.ds(base, block_f), :]
             g = blk[:, :FPACK_COLS]
             dc = blk[:, SC_DC:SC_DC + 8]
             _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_v, occ_v)
 
+        def need(act_v, occ_v, tex_v):
+            # per-ray t ceiling: root exit while unoccluded+active,
+            # -1 once the ray needs no more testing
+            live = act_v[:] * (1.0 - occ_v[:])
+            return jnp.where(live > 0.0, tex_v[:], -1.0)
+
         def all_occluded():
             return jnp.min(jnp.maximum(occ_ref[:],
                                        1.0 - act_ref[:])) >= 1.0
 
-        def sub_occluded(sub, s):
-            del s
-            _, act_v, occ_v = subs[sub]
-            return jnp.min(jnp.maximum(occ_v[:], 1.0 - act_v[:])) >= 1.0
+        def sub_skip(sub, s):
+            _, act_v, occ_v, tex_v = subs[sub]
+            return tlb_ref[0, sub, s] > jnp.max(need(act_v, occ_v, tex_v))
+
+        def stop_word(s):
+            live = act_ref[:] * (1.0 - occ_ref[:])
+            bound = jnp.max(jnp.where(live > 0.0, texit_ref[:], -1.0))
+            return tlb_ref[0, nsub, s] > bound
 
         _stream_word_loop(mask_ref, n_super, sup_f, block_f,
                           pack_hbm, (buf0, buf1), (sem0, sem1), visit_bit,
                           nsub=nsub, done_fn=all_occluded,
-                          sub_done_fn=sub_occluded, order_ref=order_ref)
+                          sub_done_fn=sub_skip,
+                          order_ref=_Row2View(order_ref),
+                          stop_fn=stop_word)
 
     return kernel
-
-
-def _shadow_visit_order(scene: SceneData, sdx, sdy, sdz, active,
-                        nwords: int, block_f: int, f: int):
-    """(nwords,) i32 word-visit permutation: ascending projection of
-    each word's cluster AABBs onto the MEAN active shadow direction.
-    Occluders nearest the shading points are tested first, so the
-    any-hit early exit usually fires after a handful of superblocks
-    instead of a full Morton-order sweep (any permutation is correct —
-    occlusion is an OR). Falls back to identity when the kernel block
-    size is not the cull-cluster size."""
-    if block_f != CULL_BLOCK:
-        return jnp.arange(nwords, dtype=jnp.int32)
-    a = active.astype(jnp.float32)
-    n = jnp.maximum(jnp.sum(a), 1.0)
-    mdx = jnp.sum(sdx * a) / n
-    mdy = jnp.sum(sdy * a) / n
-    mdz = jnp.sum(sdz * a) / n
-    c = (scene.blk_lo + scene.blk_hi) * 0.5  # (B,3) cluster centers
-    proj = c[:, 0] * mdx + c[:, 1] * mdy + c[:, 2] * mdz
-    proj = jnp.where(jnp.isfinite(proj), proj, F32_INF)  # padding last
-    nb = f // block_f
-    pad = nwords * 32 - nb
-    if pad:
-        proj = jnp.concatenate([proj, jnp.full((pad,), F32_INF)])
-    key = jnp.min(proj.reshape(nwords, 32), axis=1)
-    return jnp.argsort(key).astype(jnp.int32)
 
 
 def _stream_sched(scene: SceneData, mask, ox, oy, oz, dx, dy, dz,
@@ -1228,7 +1225,7 @@ def _stream_sched(scene: SceneData, mask, ox, oy, oz, dx, dy, dz,
 
 def _vmem_sched(scene: SceneData, mask, nwords: int, ox, oy, oz,
                 dx, dy, dz, tile_r: int, f: int, block_f: int, act=None):
-    """Front-to-back schedule for the all-VMEM closest-hit kernels.
+    """Front-to-back schedule for the all-VMEM kernels.
 
     Returns (tlb (T,1,nb) f32, order (T,1,nb) i32, texit (R,) f32):
     per-(tile, face-block) conservative entry-t lower bounds (+inf
@@ -1273,6 +1270,16 @@ def _should_stream(f: int, block_f: int) -> bool:
     comfortably. Requires superblock-aligned padding (core/scene.py pads
     big scenes to SUPER_F) and the default cluster-sized face block."""
     return f > STREAM_FACES and f % SUPER_F == 0 and block_f == CULL_BLOCK
+
+
+def _natural_block_f(scene: SceneData, f: int) -> int:
+    """The scene's own cull-cluster granularity (8 for small scenes, 32
+    past SMALL_CLUSTER_FACES — core/scene.py): the kernels' face-block
+    size defaults to it so the mask/schedule is consumed 1:1."""
+    nbc = scene.blk_lo.shape[0]
+    if nbc and f % nbc == 0:
+        return max(1, f // nbc)
+    return min(BLOCK_F, f)
 
 
 def _tile_bounds(x, tile_r):
@@ -1321,7 +1328,7 @@ def _mask_words(scene: SceneData, accel: str, ox, oy, oz, dx, dy, dz,
     nwords = -(-nb // 32)
     if accel == "brute":
         return jnp.full((n_tiles * nwords,), -1, jnp.int32), nwords
-    if accel == "bvh" and block_f == CULL_BLOCK and \
+    if accel == "bvh" and \
             scene.blk_lo.shape[0] == nb and hier_cull_fits(nb):
         bounds = tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r, act)
         words = hier_cull_words(scene.blk_lo, scene.blk_hi, *bounds,
@@ -1335,7 +1342,7 @@ def _mask_words(scene: SceneData, accel: str, ox, oy, oz, dx, dy, dz,
                                              "interpret", "with_nm",
                                              "accel", "stream"))
 def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
-                   tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                   tile_r: int = TILE_R, block_f: Optional[int] = None,
                    interpret: bool = False, with_nm: bool = False,
                    accel: str = "cull",
                    stream: Optional[bool] = None) -> GBuffer:
@@ -1345,10 +1352,17 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     (brute/cull/bvh, see _mask_words); stream=None auto-selects the
     HBM-streaming kernel for face packs too big for VMEM."""
     f = scene.tri_p0.shape[0]
-    block_f = min(block_f, f)
+    block_f = _natural_block_f(scene, f) if block_f is None \
+        else min(block_f, f)
     assert f % block_f == 0, (f, block_f)
     if stream is None:
         stream = _should_stream(f, block_f)
+    if stream and block_f != CULL_BLOCK:
+        # the streaming word structure is fixed: one 32-bit mask word =
+        # one 1024-face superblock of 32 32-face blocks — fine-cluster
+        # scenes (8-face, small) regroup their mask up to 32 here
+        assert f % CULL_BLOCK == 0, (f, block_f)
+        block_f = CULL_BLOCK
 
     nrays = dx.shape[0]
     pad_to = tile_r * (STREAM_BATCH if stream else 1)
@@ -1443,16 +1457,24 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
                                              "interpret", "accel", "stream"))
 def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
-                          tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                          tile_r: int = TILE_R,
+                          block_f: Optional[int] = None,
                           interpret: bool = False, accel: str = "cull",
                           stream: Optional[bool] = None) -> GBuffer:
     """Closest-hit G-buffer for PER-RAY-origin planar rays (bounce rays).
     Terminated paths should carry dirs == 0 (they cannot hit)."""
     f = scene.tri_p0.shape[0]
-    block_f = min(block_f, f)
+    block_f = _natural_block_f(scene, f) if block_f is None \
+        else min(block_f, f)
     assert f % block_f == 0
     if stream is None:
         stream = _should_stream(f, block_f)
+    if stream and block_f != CULL_BLOCK:
+        # the streaming word structure is fixed: one 32-bit mask word =
+        # one 1024-face superblock of 32 32-face blocks — fine-cluster
+        # scenes (8-face, small) regroup their mask up to 32 here
+        assert f % CULL_BLOCK == 0, (f, block_f)
+        block_f = CULL_BLOCK
 
     nrays = dx.shape[0]
     pad_to = tile_r * (STREAM_BATCH if stream else 1)
@@ -1536,15 +1558,22 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
                                              "interpret", "accel", "stream"))
 def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
-                  tile_r: int = TILE_R, block_f: int = BLOCK_F,
+                  tile_r: int = TILE_R, block_f: Optional[int] = None,
                   interpret: bool = False, accel: str = "cull",
                   stream: Optional[bool] = None):
     """Planar any-hit: returns (R,) bool occlusion for per-ray origins."""
     f = scene.tri_p0.shape[0]
-    block_f = min(block_f, f)
+    block_f = _natural_block_f(scene, f) if block_f is None \
+        else min(block_f, f)
     assert f % block_f == 0
     if stream is None:
         stream = _should_stream(f, block_f)
+    if stream and block_f != CULL_BLOCK:
+        # the streaming word structure is fixed: one 32-bit mask word =
+        # one 1024-face superblock of 32 32-face blocks — fine-cluster
+        # scenes (8-face, small) regroup their mask up to 32 here
+        assert f % CULL_BLOCK == 0, (f, block_f)
+        block_f = CULL_BLOCK
 
     nrays = dx.shape[0]
     pad_to = tile_r * (STREAM_BATCH if stream else 1)
@@ -1561,12 +1590,8 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
                                dxp, dyp, dzp, tile_r, block_f, f,
                                interpret,
                                act=(act > 0) if stream else None)
-    order = _shadow_visit_order(scene, dxp, dyp, dzp, act, nwords,
-                                block_f, f)
 
     grid = (r // tile_r,)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, m, o: (i,),
-                            memory_space=pltpu.VMEM)
     if stream:
         n_super = f // SUPER_F
         assert nwords == n_super, (nwords, n_super)
@@ -1575,42 +1600,54 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
         spack = _stream_pack(scene)
         mask_spec, ray_spec_s, mask3 = _stream_mask_spec(
             mask, r // tile_r, nwords, tile_r, nsub)
-        order_spec = pl.BlockSpec((n_super,), lambda i: (0,),
+        tlb3, order2, texit = _stream_sched(
+            scene, mask, oxp, oyp, ozp, dxp, dyp, dzp,
+            tile_r, nsub, n_super, act=(act > 0))
+        tlb_spec = pl.BlockSpec((1, nsub + 1, n_super),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM)
+        order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
                                   memory_space=pltpu.SMEM)
         occ = pl.pallas_call(
             _make_streaming_anyhit_kernel(block_f, SUPER_F, n_super,
                                           tile_r, nsub),
             grid=grid,
-            in_specs=[mask_spec, order_spec] + [ray_spec_s] * 7 + [
+            in_specs=[mask_spec, order_spec, tlb_spec]
+            + [ray_spec_s] * 8 + [
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=ray_spec_s,
             out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
             scratch_shapes=_stream_scratch(),
             interpret=interpret,
-        )(mask3, order, *args, act, spack)
+        )(mask3, order2[:, None, :], tlb3, *args, act, texit, spack)
     else:
         fpack = pack_face_columns(scene)
         dc = jnp.concatenate(
             [scene.tri_d[:, None], scene.tri_c,
              jnp.zeros((f, 4), jnp.float32)], axis=1)  # (F, 8)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # packed mask + word visit order
+        nb = f // block_f
+        tlb, order, texit = _vmem_sched(scene, mask, nwords,
+                                        oxp, oyp, ozp, dxp, dyp, dzp,
+                                        tile_r, f, block_f,
+                                        act=(act > 0))
+        sched_spec = pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.SMEM)
+        ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
+                                memory_space=pltpu.VMEM)
+        occ = pl.pallas_call(
+            _make_anyhit_kernel(block_f, nb),
             grid=grid,
-            in_specs=[ray_spec] * 7 + [
-                pl.BlockSpec((f, FPACK_COLS), lambda i, m, o: (0, 0),
+            in_specs=[sched_spec, sched_spec] + [ray_spec] * 8 + [
+                pl.BlockSpec((f, FPACK_COLS), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f, 8), lambda i, m, o: (0, 0),
+                pl.BlockSpec((f, 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=ray_spec,
-        )
-        occ = pl.pallas_call(
-            _make_anyhit_kernel(block_f, f // block_f, nwords),
-            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
             interpret=interpret,
-        )(mask, order, *args, act, fpack, dc)
+        )(tlb, order, *args, act, texit, fpack, dc)
 
     return occ[:nrays] > 0.0
 
@@ -2003,13 +2040,14 @@ def _mat_const(scene: SceneData, mat_f32, getter):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "near", "far", "background", "shadows", "quantize",
-    "normal_mapping", "accel", "interpret", "total_height"))
+    "normal_mapping", "accel", "interpret", "total_height", "fused"))
 def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
                       near: float = 0.01, far: float = 100.0,
                       background=(0.0, 0.0, 0.0), shadows: bool = False,
                       quantize: bool = True, normal_mapping: bool = False,
                       accel: str = "cull", interpret: bool = False,
-                      row0=None, total_height: Optional[int] = None):
+                      row0=None, total_height: Optional[int] = None,
+                      fused: Optional[bool] = None):
     """One frame, fully fused under one jit: planar raygen -> sphere
     passes -> Pallas G-buffer -> one-gather texture shade -> composite.
     The reference's whole render() pass DAG (src/lib.rs:1012-1230)
@@ -2021,7 +2059,32 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     parity, triangle_list/compute.wgsl:186-202), "cull" = flat
     tile-interval cluster mask, "bvh" = stackless LBVH traversal
     (ops/traverse.py; BASELINE north star).
+
+    fused=True runs the SINGLE-KERNEL frame variant (ops/fusedframe.py
+    — spheres, compositing and the shadow any-hit fused with the
+    closest-hit sweep; bit-identical to this split path, tested).
+    MEASURED default is the split path: at the 1080p dense view the
+    fused shadow sweep pays a per-cluster scalar-sync latency (bound
+    reduction + scalar slab per cluster per tile) that the split
+    any-hit's host-precomputed entry-t schedule avoids — 21.9 vs
+    18.0 ms with shadows, equal without. Kept as a variant (and a
+    whole-frame consistency test) rather than the default.
     """
+    f_pad = scene.tri_p0.shape[0]
+    eligible = (scene.num_faces > 0 and not normal_mapping
+                and f_pad <= STREAM_FACES)
+    if fused is None:
+        fused = False
+    if fused:
+        assert eligible, "fused frame needs a VMEM-resident mesh, no nm"
+        from .fusedframe import render_frame_fused
+
+        return render_frame_fused(
+            scene, uni_flat, width=width, height=height, near=near,
+            far=far, background=background, shadows=shadows,
+            quantize=quantize, accel=accel, interpret=interpret,
+            row0=row0, total_height=total_height)
+
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     origin = uni.origin
 

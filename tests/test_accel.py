@@ -99,7 +99,7 @@ class TestWalkMask:
         dx, dy, dz = raygen_planar(128, 128, uni)
         o = uni.origin
         f = s.data.padded_faces
-        nb = f // CULL_BLOCK
+        nb = s.data.blk_lo.shape[0]  # scene-local cluster granularity
         nwords = -(-nb // 32)
         flat = tile_cull_mask(s.data, o[0], o[1], o[2], dx, dy, dz, 1024)
         flat_words, _ = _pack_mask_bits(flat)
@@ -145,10 +145,13 @@ class TestHierCull:
         assert np.unpackbits(fw.view(np.uint8)).sum() > 0
         # every flat bit present; no bit set for the all-padding cluster
         np.testing.assert_array_equal(fw & ~hw, np.zeros_like(fw))
-        n_real = s.data.num_faces  # 968: cluster 31 is pure padding
-        first_pad_cluster = -(-n_real // CULL_BLOCK)
-        for c in range(first_pad_cluster, f // CULL_BLOCK):
-            assert not np.any(hw & (np.uint32(1) << np.uint32(c % 32)))
+        cull = f // s.data.blk_lo.shape[0]
+        n_real = s.data.num_faces  # 968: trailing clusters pure padding
+        first_pad_cluster = -(-n_real // cull)
+        for c in range(first_pad_cluster, f // cull):
+            w = c // 32
+            assert not np.any(hw.reshape(-1, nwords)[:, w]
+                              & (np.uint32(1) << np.uint32(c % 32)))
 
     def test_superset_multiword(self):
         """Exercise the multi-superblock walk (s > 0 SMEM table offsets,

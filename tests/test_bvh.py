@@ -52,15 +52,16 @@ class TestClusters:
         f = scene.tri_p0.shape[0]
         lo = np.asarray(scene.blk_lo)
         hi = np.asarray(scene.blk_hi)
+        cull = f // lo.shape[0]  # scene-local granularity (8 if small)
         p0 = np.asarray(scene.tri_p0)
         valid = np.asarray(scene.tri_valid) > 0
         for i in np.nonzero(valid)[0]:
-            b = i // CULL_BLOCK
+            b = i // cull
             assert (p0[i] >= lo[b] - 1e-5).all()
             assert (p0[i] <= hi[b] + 1e-5).all()
         # padding-only clusters are inverted
-        last = f // CULL_BLOCK - 1
-        if not valid[last * CULL_BLOCK:].any():
+        last = f // cull - 1
+        if not valid[last * cull:].any():
             assert np.isinf(lo[last]).all()
 
 
@@ -127,9 +128,10 @@ class TestCullMask:
             scene, origin[0], origin[1], origin[2],
             _pad1(dx, TILE_R), _pad1(dy, TILE_R), _pad1(dz, TILE_R), TILE_R))
 
+        cull = scene.tri_p0.shape[0] // mask.shape[1]
         for i in np.nonzero(hits)[0]:
             tile = i // TILE_R
-            blk = faces[i] // CULL_BLOCK
+            blk = faces[i] // cull
             assert mask[tile, blk] == 1, (i, tile, blk)
 
     def test_numpy_reference_agrees(self, tmp_path):
