@@ -41,7 +41,7 @@ from ..core.scene import SceneData
 from .intersect import HI
 from .megakernel import (anyhit_pallas, anyhit_reordered_pallas,
                          extend_shadow_pallas, gbuffer_pallas,
-                         _mat_const, _should_stream,
+                         _mat_const, _pick_tile_shape, _should_stream,
                          _spheres_occlude_planar, BLOCK_F,
                          sample_packed_texture,
                          sphere_pass_planar, tiled_to_image)
@@ -50,34 +50,45 @@ from .raygen import ndc_grid
 F32_INF = float("inf")
 
 
-def _jittered_dirs(width, height, uni: CameraUniforms, key, tiled: bool,
+def _jittered_dirs(width, height, uni: CameraUniforms, key, tile,
                    row0=None, total_height=None):
-    """raygen + per-pixel sub-pixel jitter (anti-aliasing). With `tiled`
-    the rays come in (8 x 128)-pixel screen-tile order (see megakernel):
-    bounce rays inherit the spatial coherence and the cluster culling
-    keeps working on secondary rays. row0/total_height select a
-    row-slab viewport of a taller image (multi-chip dp sharding, same
-    contract as megakernel.raygen_planar)."""
+    """raygen + per-pixel sub-pixel jitter (anti-aliasing). With `tile`
+    = (tile_h, tile_w, hpad) the rays come in (tile_h x tile_w)-pixel
+    SCREEN-TILE order over a row-padded (hpad-tall) grid — exactly
+    megakernel.raygen_planar_tiled's contract: bounce rays inherit the
+    spatial coherence and the cluster culling keeps working on
+    secondary rays. (Round-3 fix: this used to require width % 128 ==
+    0, so 960-wide frames fell back to raster order whose 1024-pixel
+    scanline strips have enormous cull cones — config 8's bounces=0
+    cost 1065 ms of which ~1000 ms was that fallback.) Padding rows'
+    rays use NDC y beyond the frame (true height in the divisor), so
+    visible pixels stay bit-identical; the caller crops. row0/
+    total_height select a row-slab viewport of a taller image
+    (multi-chip dp sharding, same contract as megakernel.raygen_planar).
+    """
     proj_inv = jnp.asarray(uni.proj_inv_wgpu, jnp.float32)
     view_inv = jnp.asarray(uni.view_inv, jnp.float32)
     m = jnp.matmul(view_inv[:3, :3], proj_inv[:3, :], precision=HI)
     const = m[:, 2] + m[:, 3]
 
     th = total_height or height
-    r = width * height
-    if tiled:
-        tiles_x = width // 128
+    if tile is not None:
+        tile_h, tile_w, hpad = tile
+        r = width * hpad
+        tsz = tile_h * tile_w
+        tiles_x = width // tile_w
         ridx = jnp.arange(r, dtype=jnp.int32)
-        tile = ridx // 1024
-        within = ridx % 1024
-        py = (tile // tiles_x) * 8 + within // 128
-        px = (tile % tiles_x) * 128 + within % 128
+        t_i = ridx // tsz
+        within = ridx % tsz
+        py = (t_i // tiles_x) * tile_h + within // tile_w
+        px = (t_i % tiles_x) * tile_w + within % tile_w
         yb = py.astype(jnp.float32)
         if row0 is not None:
             yb = yb + row0
         xr = (2.0 * (px.astype(jnp.float32) + 0.5) / width) - 1.0
         yr = (2.0 * (yb + 0.5) / th) - 1.0
     else:
+        r = width * height
         x_nds, _ = ndc_grid(width, th)
         y_idx = jnp.arange(height, dtype=jnp.float32)
         if row0 is not None:
@@ -162,9 +173,9 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
     row0/total_height: render a row slab of a taller image (multi-chip
     dp sharding — see parallel.tile_sharding.render_pathtrace_sharded)."""
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
-    r = width * height
     has_mesh = scene.num_faces > 0
-    tiled = height % 8 == 0 and width % 128 == 0
+    tile = _pick_tile_shape(width, height)
+    r = width * (tile[2] if tile is not None else height)
     bg = jnp.asarray(background, jnp.float32)
 
     acc_r = jnp.zeros((r,))
@@ -173,7 +184,7 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
 
     for s in range(spp):
         ks = jax.random.fold_in(key, s)
-        dx, dy, dz = _jittered_dirs(width, height, uni, ks, tiled,
+        dx, dy, dz = _jittered_dirs(width, height, uni, ks, tile,
                                     row0=row0, total_height=total_height)
         ox = jnp.full((r,), uni.origin[0])
         oy = jnp.full((r,), uni.origin[1])
@@ -317,10 +328,11 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
         acc_g = acc_g + lg
         acc_b = acc_b + lb
 
-    if tiled:
-        color = jnp.stack([tiled_to_image(acc_r, width, height),
-                           tiled_to_image(acc_g, width, height),
-                           tiled_to_image(acc_b, width, height)], axis=-1)
+    if tile is not None:
+        tile_h, tile_w, hpad = tile
+        color = jnp.stack(
+            [tiled_to_image(p, width, hpad, tile_h, tile_w)[:height]
+             for p in (acc_r, acc_g, acc_b)], axis=-1)
     else:
         color = jnp.stack(
             [acc_r.reshape(height, width), acc_g.reshape(height, width),
