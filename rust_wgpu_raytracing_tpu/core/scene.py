@@ -66,6 +66,33 @@ STREAM_COLS = 128
 SC_DC = 40
 SC_OT = 48
 
+# Slim any-hit record: occlusion testing needs exactly 16 of the 128
+# streamed columns (n 0-2, g 3-11, d+c 12-15 — ops/megakernel.py
+# _ah_block), so shadow/NEE passes stream a PACKED record with EIGHT
+# faces per 128-lane row (8x less HBM traffic; VERDICT r2 #2). Within
+# each 1024-face superblock, bank j (cols 16j..16j+16) holds faces
+# j*128..(j+1)*128 — the kernel re-assembles a face-ascending
+# (1024, 16) block with eight static lane slices per visited word.
+ANYHIT_COLS = 16
+ANYHIT_BANKS = 8
+
+# Winner-attribute table for the slim streaming closest-hit: the CH
+# *test* only needs the same 16 columns as the any-hit record, so the
+# streamed sweep tracks (t, face, h1, h2, ndotd) and the winner's
+# shading attributes are resolved AFTER the sweep by one planar gather
+# from this (GPACK_ROWS, F) table — attrs on rows so the gather yields
+# (A, R) with rays on lanes (same trick as the packed texel pools).
+GP_INVD = 0
+GP_UN = 1  # 1-3 unit normal
+GP_UV = 4  # 4-9 uv corners (u0,v0,u1,v1,u2,v2)
+GP_MAT = 10
+GP_VN = 11  # 11-19 per-corner vertex normals
+GP_TAN = 20  # 20-22 tangent, 23-25 bitangent
+GPACK_ROWS = 26
+# spack columns feeding each gpack row (invd, un, uv, mat, vn, tan+bi)
+GPACK_SRC_COLS = ([12, 13, 14, 15] + list(range(16, 22)) + [22]
+                  + list(range(30, 39)) + list(range(24, 30)))
+
 
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     if a.shape[0] == n:
@@ -98,6 +125,30 @@ def _stream_pack_np(padded: int, n, d, g, c, inv_denom, uv3, vn3,
     pack[:f, SC_DC] = d
     pack[:f, SC_DC + 1:SC_DC + 4] = c
     return pack
+
+
+def _gpack_np(spack: np.ndarray) -> np.ndarray:
+    """Host build of the (GPACK_ROWS, F) winner-attribute table from the
+    full streaming record (spack col layout: _stream_pack_np). Row
+    order must match the GP_* constants."""
+    assert len(GPACK_SRC_COLS) == GPACK_ROWS
+    return np.ascontiguousarray(spack[:, GPACK_SRC_COLS].T)
+
+
+def _anyhit_pack_np(spack: np.ndarray) -> np.ndarray:
+    """Host build of the slim (padded/8, 128) any-hit streaming record
+    from the full spack (see ANYHIT_COLS comment for the bank layout).
+    Values are byte-identical copies of the spack columns the any-hit
+    math reads, so occlusion results are bit-exact vs the fat record."""
+    p = spack.shape[0]
+    assert p % SUPER_F == 0, p
+    slim = np.concatenate(
+        [spack[:, 0:12], spack[:, SC_DC:SC_DC + 4]], axis=1)  # (P, 16)
+    s = p // SUPER_F
+    return np.ascontiguousarray(
+        slim.reshape(s, ANYHIT_BANKS, SUPER_F // ANYHIT_BANKS, ANYHIT_COLS)
+        .transpose(0, 2, 1, 3)
+        .reshape(p // ANYHIT_BANKS, STREAM_COLS))
 
 
 @dataclass
@@ -197,6 +248,16 @@ class SceneData:
     # (F, k) operand into the result's (8,128)-tiled layout — ~18 one-GB
     # copies at 2M faces, an HBM OOM the host build avoids entirely.
     spack: jax.Array = None
+
+    # (F/8, 128) f32 slim any-hit/closest-hit-test streaming record
+    # (host-precomputed, same gating as spack; (0, 128) when not
+    # streaming). See _anyhit_pack_np for the bank layout — 8x less
+    # shadow- and primary-pass DMA than the full record.
+    apack: jax.Array = None
+
+    # (GPACK_ROWS, F) f32 winner-attribute table for the slim streaming
+    # closest-hit's post-sweep gather ((0, 0) when not streaming).
+    gpack: jax.Array = None
 
     # static metadata (not traced)
     num_faces: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -403,8 +464,12 @@ class Scene:
                 spack_np = _stream_pack_np(padded, n, d, g, c, inv_denom,
                                            uv3, vn3, face_mat, orig_ids,
                                            tangent, bitangent)
+                apack_np = _anyhit_pack_np(spack_np)
+                gpack_np = _gpack_np(spack_np)
             else:
                 spack_np = np.zeros((0, STREAM_COLS), np.float32)
+                apack_np = np.zeros((0, STREAM_COLS), np.float32)
+                gpack_np = np.zeros((GPACK_ROWS, 0), np.float32)
         else:
             p0 = np.zeros((0, 3), np.float32)
             n = np.zeros((0, 3), np.float32)
@@ -423,6 +488,8 @@ class Scene:
             bvh_pack = np.zeros((9, 1), np.float32)
             bvh_nodes = 0
             spack_np = np.zeros((0, STREAM_COLS), np.float32)
+            apack_np = np.zeros((0, STREAM_COLS), np.float32)
+            gpack_np = np.zeros((GPACK_ROWS, 0), np.float32)
 
         # ---- textures (diffuse sRGB-decoded; bump maps raw) ----
         # deduplicated by (resolved path, srgb): real assets routinely
@@ -557,6 +624,8 @@ class Scene:
             tri_bitangent=jnp.asarray(_pad_rows(bitangent, padded)),
             mat_bump=jnp.asarray(np.array(mat_bump, np.int32)),
             spack=jnp.asarray(spack_np),
+            apack=jnp.asarray(apack_np),
+            gpack=jnp.asarray(gpack_np),
             num_faces=num_faces,
             num_spheres=len(spheres),
             bvh_nodes=bvh_nodes,

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.scene import (CULL_BLOCK, FACE_PAD, STREAM_COLS, STREAM_FACES,
+from ..core.scene import (CULL_BLOCK, FACE_PAD, GPACK_ROWS, STREAM_COLS,
+                          STREAM_FACES,
                           SUPER_F, Scene, SceneData)
 
 
@@ -219,9 +220,11 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             tri_orig=orig,
             blk_lo=blk_lo,
             blk_hi=blk_hi,
-            # the template's host-precomputed streaming record describes
+            # the template's host-precomputed streaming records describe
             # the untransformed mesh — stale once instances move
             spack=jnp.zeros((0, STREAM_COLS), jnp.float32),
+            apack=jnp.zeros((0, STREAM_COLS), jnp.float32),
+            gpack=jnp.zeros((GPACK_ROWS, 0), jnp.float32),
             # the host-built radix tree is stale once instances move
             # (accel="bvh" only needs the refit blk_lo/hi, so the
             # hierarchical cull still applies)
@@ -237,10 +240,17 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             # build OOMs HBM at 2M faces on layout-padded narrow temps;
             # ops/megakernel.pack_stream_columns_chunked) — every
             # kernel of the frame then shares the refreshed record
-            from .megakernel import pack_stream_columns_chunked
+            from .megakernel import (anyhit_pack_from_stream,
+                                     gpack_from_stream,
+                                     pack_stream_columns_chunked)
 
-            sd = dataclasses.replace(sd,
-                                     spack=pack_stream_columns_chunked(sd))
+            sp = pack_stream_columns_chunked(sd)
+            # derive the slim any-hit record + winner-attribute table
+            # here too, so the frame's kernels (separate jit entries)
+            # don't each re-derive them from spack
+            sd = dataclasses.replace(
+                sd, spack=sp, apack=anyhit_pack_from_stream(sp),
+                gpack=gpack_from_stream(sp))
         return sd
 
 

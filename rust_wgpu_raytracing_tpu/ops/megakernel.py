@@ -38,13 +38,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import CameraUniforms
-from ..core.scene import (CULL_BLOCK, SC_DC, SC_OT, STREAM_COLS,
-                          STREAM_FACES, SUPER_F, SceneData)
+from ..core.scene import (ANYHIT_BANKS, ANYHIT_COLS, CULL_BLOCK,
+                          GP_INVD, GP_MAT, GP_TAN, GP_UN, GP_UV, GP_VN,
+                          GPACK_ROWS, GPACK_SRC_COLS, SC_DC, SC_OT,
+                          STREAM_COLS, STREAM_FACES, SUPER_F, SceneData)
 from .composite import to_nonlinear_depth
 from .intersect import HI, K_EPSILON, TriHit
 from .raygen import ndc_grid
-from .traverse import (ray_root_exit, slab_interval_entry,
-                       slab_interval_ok, tile_ray_bounds)
+from .traverse import (perray_super_any, ray_root_exit,
+                       slab_interval_entry, slab_interval_ok,
+                       tile_ray_bounds)
 from .traverse_pallas import hier_cull_fits, hier_cull_words
 
 INT_MISS = 2**31 - 1  # python scalars only: traced constants cannot be
@@ -203,6 +206,140 @@ def pack_stream_columns_chunked(scene: SceneData) -> jnp.ndarray:
         return jax.lax.dynamic_update_slice(acc, chunk, (s * SUPER_F, 0))
 
     return jax.lax.fori_loop(0, ns, body, out)
+
+
+def anyhit_pack_from_stream(spack: jnp.ndarray) -> jnp.ndarray:
+    """In-jit derivation of the slim (F/8, 128) any-hit record from a
+    full streaming record (device-refit instanced scenes whose host
+    apack is stale). Chunked per superblock so every temp stays small
+    — same bank layout and bit-identical values as the host build
+    (core/scene.py _anyhit_pack_np)."""
+    fpad = spack.shape[0]
+    ns = fpad // SUPER_F
+    hrows = SUPER_F // ANYHIT_BANKS
+    out = jnp.zeros((fpad // ANYHIT_BANKS, STREAM_COLS), jnp.float32)
+
+    def body(s, acc):
+        chunk = jax.lax.dynamic_slice_in_dim(spack, s * SUPER_F,
+                                             SUPER_F, 0)
+        slim = jnp.concatenate(
+            [chunk[:, 0:12], chunk[:, SC_DC:SC_DC + 4]], axis=1)
+        banked = (slim.reshape(ANYHIT_BANKS, hrows, ANYHIT_COLS)
+                  .transpose(1, 0, 2).reshape(hrows, STREAM_COLS))
+        return jax.lax.dynamic_update_slice(acc, banked, (s * hrows, 0))
+
+    return jax.lax.fori_loop(0, ns, body, out)
+
+
+def _anyhit_stream_pack(scene: SceneData) -> jnp.ndarray:
+    """The slim any-hit streaming record: host-precomputed
+    SceneData.apack when fresh, else derived in-jit from the (possibly
+    itself in-jit rebuilt) full record."""
+    f = scene.tri_p0.shape[0]
+    if scene.apack is not None and scene.apack.shape[0] * ANYHIT_BANKS == f:
+        return scene.apack
+    return anyhit_pack_from_stream(_stream_pack(scene))
+
+
+def origin_pack_banked(scene: SceneData, origin) -> jnp.ndarray:
+    """Per-frame (F/8, 128) banked origin-term record for the slim
+    shared-origin streaming closest-hit: within each superblock, bank
+    j's cols 16j..16j+4 carry [t_num, hc0, hc1, hc2] for face
+    j*128+row (the apack bank layout). Built CHUNKED per superblock —
+    the one-shot (F, 8) build materializes a lane-padded GB at 2M
+    faces — with the same per-row dot products as pack_origin_cols, so
+    streamed and all-VMEM closest hits stay bit-identical. Replaces
+    round 2's full (F, 128) dynamic_update_slice re-materialization of
+    the fat record every frame."""
+    o = jnp.asarray(origin, jnp.float32)
+    f = scene.tri_p0.shape[0]
+    ns = f // SUPER_F
+    hrows = SUPER_F // ANYHIT_BANKS
+    out = jnp.zeros((f // ANYHIT_BANKS, STREAM_COLS), jnp.float32)
+
+    def body(s, acc):
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, s * SUPER_F, SUPER_F, 0)
+
+        t_num = -(jnp.matmul(sl(scene.tri_n), o, precision=HI)
+                  + sl(scene.tri_d))
+        hc = jnp.einsum("fij,j->fi", sl(scene.tri_g), o,
+                        precision=HI) - sl(scene.tri_c)
+        o16 = jnp.concatenate(
+            [t_num[:, None], hc,
+             jnp.zeros((SUPER_F, ANYHIT_COLS - 4), jnp.float32)], axis=1)
+        banked = (o16.reshape(ANYHIT_BANKS, hrows, ANYHIT_COLS)
+                  .transpose(1, 0, 2).reshape(hrows, STREAM_COLS))
+        return jax.lax.dynamic_update_slice(acc, banked, (s * hrows, 0))
+
+    return jax.lax.fori_loop(0, ns, body, out)
+
+
+def gpack_from_stream(spack: jnp.ndarray) -> jnp.ndarray:
+    """In-jit chunked derivation of the (GPACK_ROWS, F) winner-attribute
+    table from a full streaming record (device-refit scenes whose host
+    gpack is stale)."""
+    f = spack.shape[0]
+    ns = f // SUPER_F
+    out = jnp.zeros((GPACK_ROWS, f), jnp.float32)
+    cols = jnp.asarray(GPACK_SRC_COLS, jnp.int32)
+
+    def body(s, acc):
+        chunk = jax.lax.dynamic_slice_in_dim(spack, s * SUPER_F,
+                                             SUPER_F, 0)
+        rows = jnp.take(chunk, cols, axis=1).T  # (GPACK_ROWS, SUPER_F)
+        return jax.lax.dynamic_update_slice(acc, rows, (0, s * SUPER_F))
+
+    return jax.lax.fori_loop(0, ns, body, out)
+
+
+def _gpack_stream(scene: SceneData) -> jnp.ndarray:
+    """The (GPACK_ROWS, F) winner-attribute table: host-precomputed
+    SceneData.gpack when fresh, else derived in-jit (chunked) from the
+    full streaming record for device-refit scenes."""
+    f = scene.tri_p0.shape[0]
+    if scene.gpack is not None and scene.gpack.shape[1] == f:
+        return scene.gpack
+    return gpack_from_stream(_stream_pack(scene))
+
+
+def expand_slim_gbuffer(scene: SceneData, t, face, h1, h2, nd,
+                        with_nm: bool) -> "GBuffer":
+    """Resolve the fat G-buffer from the slim sweep outputs: ONE planar
+    gather of the winner faces' attributes (gpack — gathers cost per
+    index, payload-insensitive) followed by exactly the interpolation
+    expressions of _ch_block, applied to the winner's gathered values —
+    bit-identical results (same products of the same floats in the
+    same order). Miss rays (t == inf) zero every attribute, matching
+    the kernels' zero-initialized outputs."""
+    gp = _gpack_stream(scene)
+    idx = jnp.clip(face, 0, gp.shape[1] - 1)
+    a = jnp.take(gp, idx, axis=1)  # (GPACK_ROWS, R), rays on lanes
+    hit = jnp.isfinite(t)
+
+    def m(x):
+        return jnp.where(hit, x, 0.0)
+
+    u_n = h1 * a[GP_INVD]
+    v_n = h2 * a[GP_INVD]
+    w_n = 1.0 - u_n - v_n
+    uvx = u_n * a[GP_UV] + v_n * a[GP_UV + 2] + w_n * a[GP_UV + 4]
+    uvy = u_n * a[GP_UV + 1] + v_n * a[GP_UV + 3] + w_n * a[GP_UV + 5]
+
+    nm = dict()
+    if with_nm:
+        for ax, (vk, tk, bk) in enumerate(
+                zip(("vnx", "vny", "vnz"), ("tx", "ty", "tz"),
+                    ("bx", "by", "bz"))):
+            nm[vk] = m(u_n * a[GP_VN + ax] + v_n * a[GP_VN + 3 + ax]
+                       + w_n * a[GP_VN + 6 + ax])
+            nm[tk] = m(a[GP_TAN + ax])
+            nm[bk] = m(a[GP_TAN + 3 + ax])
+
+    return GBuffer(t=t, face=face, u=m(u_n), v=m(v_n), nd=nd,
+                   uvx=m(uvx), uvy=m(uvy),
+                   nx=m(a[GP_UN]), ny=m(a[GP_UN + 1]),
+                   nz=m(a[GP_UN + 2]), mat=m(a[GP_MAT]), **nm)
 
 
 def _col(ref, k):
@@ -798,9 +935,10 @@ class _SubView:
         self._ref[self._sl] = val
 
 
-def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
-                      sems, visit_bit, nsub=1, done_fn=None,
-                      sub_done_fn=None, order_ref=None, stop_fn=None):
+def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
+                      visit_bit, nsub=1, done_fn=None,
+                      sub_done_fn=None, order_ref=None, stop_fn=None,
+                      word_begin=None):
     """HBM-streaming variant of _mask_word_loop (VERDICT r1: breaks the
     all-VMEM scene-size ceiling). The (F, STREAM_COLS) face pack stays
     in HBM; one packed mask word covers exactly one superblock of sup_f
@@ -844,7 +982,14 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
     "word s cannot beat any ray's best" implies the same for every
     later word, so the whole loop (fetches included) stops. order_ref:
     optional SMEM (n_super,) i32 visit permutation (shadow kernels sort
-    near-to-far along the light; closest-hit sorts by entry t)."""
+    near-to-far along the light; closest-hit sorts by entry t).
+    streams: list of (hbm_ref, (buf0, buf1), (sem0, sem1), rows) DMA
+    chains advanced in lockstep — rows is the HBM rows per superblock
+    (the slim records pack several faces per 128-lane row; the shared-
+    origin closest-hit streams a second per-frame origin-term record).
+    word_begin(slot_bufs, s): optional per-visited-word hook run once
+    before the subtile visits with this parity's buffer of every
+    stream (the slim kernels unpack the banked records there)."""
     bits = sup_f // block_f
 
     def word_id(j):
@@ -862,15 +1007,18 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
 
     def start(j, slot):
         s = word_id(j)
-        pltpu.make_async_copy(
-            hbm_ref.at[pl.ds(s * sup_f, sup_f), :], bufs[slot],
-            sems[slot]).start()
+        for hbm, bufs_, sems_, rows_ in streams:
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(s * rows_, rows_), :], bufs_[slot],
+                sems_[slot]).start()
 
     def wait(slot):
         # descriptor only carries the transfer shape; any source slice
         # of the right extent waits the slot's semaphore
-        pltpu.make_async_copy(
-            hbm_ref.at[pl.ds(0, sup_f), :], bufs[slot], sems[slot]).wait()
+        for hbm, bufs_, sems_, rows_ in streams:
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(0, rows_), :], bufs_[slot],
+                sems_[slot]).wait()
 
     def visit_word(j, slot):
         s = word_id(j)
@@ -886,7 +1034,7 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
                 def bit_step(b_, c2):
                     @pl.when(((word >> b_) & 1) > 0)
                     def _():
-                        visit_bit(bufs[slot], s, b_, sub)
+                        visit_bit(streams[0][1][slot], s, b_, sub)
                     return c2
 
                 jax.lax.fori_loop(0, bits, bit_step, 0)
@@ -915,6 +1063,8 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
 
             @pl.when(jnp.logical_and(par == p, jnp.logical_not(stop)))
             def _(p=p):
+                if word_begin is not None:
+                    word_begin([st[1][p] for st in streams], word_id(j))
                 visit_word(j, p)
 
         return jn, 1 - par, pre
@@ -931,15 +1081,6 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, hbm_ref, bufs,
 
     jax.lax.while_loop(lambda c: c[2], body,
                        (j0, jnp.int32(0), pending0))
-
-
-def _stream_scratch():
-    return [
-        pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
-        pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
-        pltpu.SemaphoreType.DMA(()),
-    ]
 
 
 # ray subtiles batched per streaming grid step: one superblock fetch
@@ -985,45 +1126,168 @@ class _Row2View:
         return self._ref[0, 0, j]
 
 
-def _make_streaming_ch_kernel(with_nm: bool, block_f: int, sup_f: int,
-                              n_super: int, tile_r: int, nsub: int):
-    """Shared-origin closest-hit with the face pack STREAMED from HBM,
-    nsub ray subtiles sharing each superblock fetch, words visited
-    FRONT-TO-BACK (order_ref, ascending batch-min entry t) with exact
-    early termination: a word whose entry lower bound (tlb_ref) exceeds
-    max_ray(min(best_t, root_exit)) cannot beat the lexicographic
-    (t, face) winner of any ray, so its visit — and under the sorted
-    order the rest of the sweep — is skipped (see _stream_sched)."""
-    n_out = 20 if with_nm else 11
+def _ch_block_slim(g, o, dx, dy, dz, face_base,
+                   t_ref, face_ref, h1_ref, h2_ref, nd_ref):
+    """Shared-origin closest-hit block merge over the SLIM 16-col
+    record (g: n 0-2, edge planes 3-11; o: per-face origin terms from
+    the per-frame banked record). Tracks only the lexicographic
+    (t, face) winner's raw h1/h2/ndotd — shading attributes resolve
+    after the sweep (expand_slim_gbuffer) with bit-identical values
+    to the fat _ch_block (the winner's u = h1*invd is the same
+    product of the same two floats)."""
+
+    def col(m, k):
+        return m[:, k:k + 1]
+
+    ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
+    t = col(o, 0) / ndotd
+    h0 = col(o, 1) + t * (col(g, 3) * dx + col(g, 4) * dy + col(g, 5) * dz)
+    h1 = col(o, 2) + t * (col(g, 6) * dx + col(g, 7) * dy + col(g, 8) * dz)
+    h2 = col(o, 3) + t * (col(g, 9) * dx + col(g, 10) * dy
+                          + col(g, 11) * dz)
+    valid = (
+        (jnp.abs(ndotd) >= K_EPSILON)
+        & (t >= 0.0)
+        & (h0 >= 0.0)
+        & (h1 >= 0.0)
+        & (h2 >= 0.0)
+    )
+    _merge_slim(t, valid, h1, h2, ndotd, face_base,
+                t_ref, face_ref, h1_ref, h2_ref, nd_ref)
+
+
+def _chp_block_slim(g, dx, dy, dz, ox, oy, oz, face_base,
+                    t_ref, face_ref, h1_ref, h2_ref, nd_ref):
+    """Per-ray-origin closest-hit block merge over the slim record
+    (d at col 12, c at 13-15) — same math and epsilons as the fat
+    _chp_block, slim-merge outputs."""
+
+    def col(m, k):
+        return m[:, k:k + 1]
+
+    ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
+    ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
+    t = -(ndoto + col(g, 12)) / ndotd
+
+    def hplane(k, c):
+        og = (col(g, k) * ox + col(g, k + 1) * oy
+              + col(g, k + 2) * oz - col(g, 12 + c))
+        dg = (col(g, k) * dx + col(g, k + 1) * dy
+              + col(g, k + 2) * dz)
+        return og + t * dg
+
+    h0 = hplane(3, 1)
+    h1 = hplane(6, 2)
+    h2 = hplane(9, 3)
+    valid = (
+        (jnp.abs(ndotd) >= K_EPSILON)
+        & (t >= 1e-3)
+        & (h0 >= 0.0)
+        & (h1 >= 0.0)
+        & (h2 >= 0.0)
+    )
+    _merge_slim(t, valid, h1, h2, ndotd, face_base,
+                t_ref, face_ref, h1_ref, h2_ref, nd_ref)
+
+
+def _merge_slim(t, valid, h1, h2, ndotd, face_base,
+                t_ref, face_ref, h1_ref, h2_ref, nd_ref):
+    """Lexicographic (t, face id) merge of a block's winner into the
+    slim output planes — the same merge rule as _ch_block (see its
+    comments for the order-independence and no-hit-block arguments)."""
+    tm = jnp.where(valid, t, F32_INF)
+    tmin = jnp.min(tm, axis=0, keepdims=True)
+    face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+    idx_blk = jnp.min(
+        jnp.where(tm == tmin, face_ids, INT_MISS), axis=0, keepdims=True)
+    win = face_ids == idx_blk
+
+    def pick(m):
+        return jnp.sum(jnp.where(win, m, 0.0), axis=0, keepdims=True)
+
+    prev_t = _row1(t_ref)
+    new_face = idx_blk + face_base
+    better = ((tmin < prev_t)
+              | ((tmin == prev_t)
+                 & (new_face < _row1(face_ref)))).reshape(-1)
+
+    def merge(ref, new):
+        ref[:] = jnp.where(better, new.reshape(-1), ref[:])
+
+    merge(t_ref, tmin)
+    merge(face_ref, new_face)
+    merge(h1_ref, pick(h1))
+    merge(h2_ref, pick(h2))
+    merge(nd_ref, pick(ndotd))
+
+
+def _slim_unpack(mask_ref, nsub, unp_refs, slot_bufs, s, col_widths):
+    """Re-assemble face-ascending (SUPER_F, w) blocks from the banked
+    slim records' 8 lane groups (static 16-lane slices) — one VMEM
+    copy per visited word, amortized over its subtiles and set bits;
+    banks with no set bit in the union word are skipped."""
+    banks = ANYHIT_BANKS
+    hrows = SUPER_F // banks
+    bits_per_bank = (SUPER_F // CULL_BLOCK) // banks
+    union = mask_ref[0, nsub, s]
+    bank_mask = (1 << bits_per_bank) - 1
+    for jb in range(banks):
+        @pl.when(((union >> (bits_per_bank * jb)) & bank_mask) != 0)
+        def _(jb=jb):
+            for unp, buf, w in zip(unp_refs, slot_bufs, col_widths):
+                unp[jb * hrows:(jb + 1) * hrows, :] = \
+                    buf[:, ANYHIT_COLS * jb:ANYHIT_COLS * jb + w]
+
+
+def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
+                                   tile_r: int, nsub: int):
+    """Shared-origin closest-hit with the face data STREAMED from HBM
+    as the SLIM 16-col record (apack) plus a per-frame banked
+    origin-term record (origin_pack_banked) — together 8x less DMA per
+    superblock than the fat 128-col record, which is what the 2M-face
+    frames were bound on (VERDICT r2 #1/#2). nsub ray subtiles share
+    each fetch; words are visited FRONT-TO-BACK (order_ref, ascending
+    batch-min entry t) with exact early termination: a word whose
+    entry lower bound (tlb_ref) exceeds max_ray(min(best_t,
+    root_exit)) cannot beat the lexicographic (t, face) winner of any
+    ray, so its visit — and under the sorted order the rest of the
+    sweep — is skipped (see _stream_sched). Outputs are the slim
+    (t, face, h1, h2, nd) planes; expand_slim_gbuffer resolves the
+    fat G-buffer bit-identically after the sweep."""
+    assert sup_f == SUPER_F
+    hrows = sup_f // ANYHIT_BANKS
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
-               texit_ref, pack_hbm, *rest):
-        outs = rest[:n_out]
-        buf0, buf1, sem0, sem1 = rest[n_out:]
-
-        outs[0][:] = jnp.full_like(outs[0], F32_INF)
-        for r_ in outs[1:]:
+               texit_ref, apack_hbm, opack_hbm,
+               t_ref, face_ref, h1_ref, h2_ref, nd_ref,
+               abuf0, abuf1, asem0, asem1,
+               obuf0, obuf1, osem0, osem1, aunp_ref, ounp_ref):
+        t_ref[:] = jnp.full_like(t_ref, F32_INF)
+        for r_ in (face_ref, h1_ref, h2_ref, nd_ref):
             r_[:] = jnp.zeros_like(r_)
 
-        # per-subtile static windows into the batched refs
         subs = []
         for sub in range(nsub):
             s0 = sub * tile_r
             dx = dx_ref[s0:s0 + tile_r].reshape(1, tile_r)
             dy = dy_ref[s0:s0 + tile_r].reshape(1, tile_r)
             dz = dz_ref[s0:s0 + tile_r].reshape(1, tile_r)
-            views = tuple(_SubView(o, s0, tile_r) for o in outs)
+            views = tuple(_SubView(o, s0, tile_r)
+                          for o in (t_ref, face_ref, h1_ref, h2_ref,
+                                    nd_ref))
             subs.append((dx, dy, dz, views))
+
+        def word_begin(slot_bufs, s):
+            _slim_unpack(mask_ref, nsub, (aunp_ref, ounp_ref),
+                         slot_bufs, s, (ANYHIT_COLS, 4))
 
         def visit_bit(buf, s, b, sub):
             dx, dy, dz, v = subs[sub]
-            base = pl.multiple_of(b * block_f, block_f)
-            blk = buf[pl.ds(base, block_f), :]  # (BF, STREAM_COLS) value
-            g = blk[:, :FPACK_COLS]
-            o = blk[:, SC_OT:SC_OT + 8]
-            _ch_block(g, o, dx, dy, dz, s * sup_f + b * block_f,
-                      v[0], v[1], v[2], v[3], v[4], v[5], v[6], v[7],
-                      v[8], v[9], v[10], v[11:])
+            base = pl.multiple_of(b * CULL_BLOCK, CULL_BLOCK)
+            g = aunp_ref[pl.ds(base, CULL_BLOCK), :]
+            o = ounp_ref[pl.ds(base, CULL_BLOCK), :]
+            _ch_block_slim(g, o, dx, dy, dz,
+                           s * sup_f + b * CULL_BLOCK, *v)
 
         def sub_skip(sub, s):
             s0 = sub * tile_r
@@ -1033,31 +1297,35 @@ def _make_streaming_ch_kernel(with_nm: bool, block_f: int, sup_f: int,
             return tlb_ref[0, sub, s] > bound
 
         def stop_word(s):
-            bound = jnp.max(jnp.minimum(outs[0][:], texit_ref[:]))
+            bound = jnp.max(jnp.minimum(t_ref[:], texit_ref[:]))
             return tlb_ref[0, nsub, s] > bound
 
-        _stream_word_loop(mask_ref, n_super, sup_f, block_f,
-                          pack_hbm, (buf0, buf1), (sem0, sem1), visit_bit,
-                          nsub=nsub, sub_done_fn=sub_skip,
-                          order_ref=_Row2View(order_ref),
-                          stop_fn=stop_word)
+        _stream_word_loop(
+            mask_ref, n_super, sup_f, CULL_BLOCK,
+            [(apack_hbm, (abuf0, abuf1), (asem0, asem1), hrows),
+             (opack_hbm, (obuf0, obuf1), (osem0, osem1), hrows)],
+            visit_bit, nsub=nsub, sub_done_fn=sub_skip,
+            order_ref=_Row2View(order_ref), stop_fn=stop_word,
+            word_begin=word_begin)
 
     return kernel
 
 
-def _make_streaming_chp_kernel(block_f: int, sup_f: int, n_super: int,
-                               tile_r: int, nsub: int):
-    """Per-ray-origin closest-hit (bounce rays), HBM-streamed faces,
-    nsub ray subtiles per fetch, front-to-back with exact early
-    termination (same schedule contract as the shared-origin kernel)."""
+def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
+                                    tile_r: int, nsub: int):
+    """Per-ray-origin closest-hit (bounce rays) over the slim streamed
+    record — origin terms computed in-kernel from d/c (cols 12-15),
+    exactly the fat _chp_block math; same schedule contract as the
+    shared-origin slim kernel."""
+    assert sup_f == SUPER_F
+    hrows = sup_f // ANYHIT_BANKS
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
-               ox_ref, oy_ref, oz_ref, texit_ref, pack_hbm, *rest):
-        outs = rest[:11]
-        buf0, buf1, sem0, sem1 = rest[11:]
-
-        outs[0][:] = jnp.full_like(outs[0], F32_INF)
-        for r_ in outs[1:]:
+               ox_ref, oy_ref, oz_ref, texit_ref, apack_hbm,
+               t_ref, face_ref, h1_ref, h2_ref, nd_ref,
+               buf0, buf1, sem0, sem1, unp_ref):
+        t_ref[:] = jnp.full_like(t_ref, F32_INF)
+        for r_ in (face_ref, h1_ref, h2_ref, nd_ref):
             r_[:] = jnp.zeros_like(r_)
 
         subs = []
@@ -1066,19 +1334,21 @@ def _make_streaming_chp_kernel(block_f: int, sup_f: int, n_super: int,
             rows = tuple(r_[s0:s0 + tile_r].reshape(1, tile_r)
                          for r_ in (dx_ref, dy_ref, dz_ref,
                                     ox_ref, oy_ref, oz_ref))
-            views = tuple(_SubView(o, s0, tile_r) for o in outs)
+            views = tuple(_SubView(o, s0, tile_r)
+                          for o in (t_ref, face_ref, h1_ref, h2_ref,
+                                    nd_ref))
             subs.append((rows, views))
+
+        def word_begin(slot_bufs, s):
+            _slim_unpack(mask_ref, nsub, (unp_ref,), slot_bufs, s,
+                         (ANYHIT_COLS,))
 
         def visit_bit(buf, s, b, sub):
             (dx, dy, dz, ox, oy, oz), v = subs[sub]
-            base = pl.multiple_of(b * block_f, block_f)
-            blk = buf[pl.ds(base, block_f), :]
-            g = blk[:, :FPACK_COLS]
-            dc = blk[:, SC_DC:SC_DC + 8]
-            _chp_block(g, dc, dx, dy, dz, ox, oy, oz,
-                       s * sup_f + b * block_f,
-                       v[0], v[1], v[2], v[3], v[4], v[5], v[6], v[7],
-                       v[8], v[9], v[10])
+            base = pl.multiple_of(b * CULL_BLOCK, CULL_BLOCK)
+            blk = unp_ref[pl.ds(base, CULL_BLOCK), :]
+            _chp_block_slim(blk, dx, dy, dz, ox, oy, oz,
+                            s * sup_f + b * CULL_BLOCK, *v)
 
         def sub_skip(sub, s):
             s0 = sub * tile_r
@@ -1088,22 +1358,30 @@ def _make_streaming_chp_kernel(block_f: int, sup_f: int, n_super: int,
             return tlb_ref[0, sub, s] > bound
 
         def stop_word(s):
-            bound = jnp.max(jnp.minimum(outs[0][:], texit_ref[:]))
+            bound = jnp.max(jnp.minimum(t_ref[:], texit_ref[:]))
             return tlb_ref[0, nsub, s] > bound
 
-        _stream_word_loop(mask_ref, n_super, sup_f, block_f,
-                          pack_hbm, (buf0, buf1), (sem0, sem1), visit_bit,
-                          nsub=nsub, sub_done_fn=sub_skip,
-                          order_ref=_Row2View(order_ref),
-                          stop_fn=stop_word)
+        _stream_word_loop(
+            mask_ref, n_super, sup_f, CULL_BLOCK,
+            [(apack_hbm, (buf0, buf1), (sem0, sem1), hrows)],
+            visit_bit, nsub=nsub, sub_done_fn=sub_skip,
+            order_ref=_Row2View(order_ref), stop_fn=stop_word,
+            word_begin=word_begin)
 
     return kernel
 
 
 def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
                                   tile_r: int, nsub: int):
-    """Shadow any-hit with per-ray origins, HBM-streamed faces; nsub ray
-    subtiles per fetch. Words are visited in ascending batch-min ENTRY-t
+    """Shadow any-hit with per-ray origins, faces HBM-streamed from the
+    SLIM 16-col record (scene.apack: 8 faces per 128-lane row — the
+    any-hit math reads 16 of the fat record's 128 columns, so the slim
+    fetch moves 8x less HBM per superblock; VERDICT r2 #2). Each
+    visited word re-assembles a face-ascending (sup_f, 16) block from
+    the 8 banked lane groups (static 16-lane slices, one ~64 KB VMEM
+    copy amortized over the word's subtiles and set bits; banks with no
+    set bit in the union word are skipped). nsub ray subtiles share
+    each fetch. Words are visited in ascending batch-min ENTRY-t
     order (the generalization of round 2's near-to-far light sort) with
     two exact pruning rules on top of the occlusion early exit:
     - a subtile skips word s when tlb[sub, s] > max over its
@@ -1115,10 +1393,15 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
       conservative tile cull admits a thick slab of phantom clusters);
     - under the sorted order the same bound stops the whole batch
       (fetches included)."""
+    assert sup_f == SUPER_F and block_f == CULL_BLOCK, (sup_f, block_f)
+    banks = ANYHIT_BANKS
+    hrows = sup_f // banks  # HBM rows per superblock (8 faces/row)
+    acols = ANYHIT_COLS
+    bits_per_bank = (sup_f // block_f) // banks
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref, act_ref, texit_ref, pack_hbm,
-               occ_ref, buf0, buf1, sem0, sem1):
+               occ_ref, buf0, buf1, sem0, sem1, unp_ref):
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
         subs = []
@@ -1131,13 +1414,23 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
                          _SubView(occ_ref, s0, tile_r),
                          _SubView(texit_ref, s0, tile_r)))
 
+        def word_begin(slot_bufs, s):
+            buf = slot_bufs[0]
+            union = mask_ref[0, nsub, s]
+            bank_mask = (1 << bits_per_bank) - 1
+            for jb in range(banks):
+                @pl.when(((union >> (bits_per_bank * jb))
+                          & bank_mask) != 0)
+                def _(jb=jb):
+                    unp_ref[jb * hrows:(jb + 1) * hrows, :] = \
+                        buf[:, acols * jb:acols * (jb + 1)]
+
         def visit_bit(buf, s, b, sub):
             (dx, dy, dz, ox, oy, oz), act_v, occ_v, _ = subs[sub]
             base = pl.multiple_of(b * block_f, block_f)
-            blk = buf[pl.ds(base, block_f), :]
-            g = blk[:, :FPACK_COLS]
-            dc = blk[:, SC_DC:SC_DC + 8]
-            _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_v, occ_v)
+            blk = unp_ref[pl.ds(base, block_f), :]
+            _ah_block(blk, blk[:, 12:16], dx, dy, dz, ox, oy, oz,
+                      act_v, occ_v)
 
         def need(act_v, occ_v, tex_v):
             # per-ray t ceiling: root exit while unoccluded+active,
@@ -1159,13 +1452,27 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
             return tlb_ref[0, nsub, s] > bound
 
         _stream_word_loop(mask_ref, n_super, sup_f, block_f,
-                          pack_hbm, (buf0, buf1), (sem0, sem1), visit_bit,
+                          [(pack_hbm, (buf0, buf1), (sem0, sem1), hrows)],
+                          visit_bit,
                           nsub=nsub, done_fn=all_occluded,
                           sub_done_fn=sub_skip,
                           order_ref=_Row2View(order_ref),
-                          stop_fn=stop_word)
+                          stop_fn=stop_word,
+                          word_begin=word_begin)
 
     return kernel
+
+
+def _super_aabbs(scene: SceneData, n_super: int):
+    """Cluster AABBs with padding neutralized, plus their per-superblock
+    unions ((S, 3) each). isfinite guard: padding clusters carry
+    non-finite bounds; inf - inf = NaN would poison the union."""
+    finite = jnp.isfinite(scene.blk_lo) & jnp.isfinite(scene.blk_hi)
+    blo = jnp.where(finite, scene.blk_lo, F32_INF)
+    bhi = jnp.where(finite, scene.blk_hi, -F32_INF)
+    slo = jnp.min(blo.reshape(n_super, -1, 3), axis=1)
+    shi = jnp.max(bhi.reshape(n_super, -1, 3), axis=1)
+    return blo, bhi, slo, shi
 
 
 def _stream_sched(scene: SceneData, mask, ox, oy, oz, dx, dy, dz,
@@ -1189,14 +1496,7 @@ def _stream_sched(scene: SceneData, mask, ox, oy, oz, dx, dy, dz,
     The TPU-shaped analogue of ordered BVH descent with ray shortening
     — the per-ray program counter becomes a per-tile sorted word list
     plus a scalar bound check per (sub, word)."""
-    # superblock AABBs: union of each word's 32 cluster boxes (isfinite
-    # guard: padding clusters carry non-finite bounds; inf - inf = NaN
-    # would poison the union)
-    finite = jnp.isfinite(scene.blk_lo) & jnp.isfinite(scene.blk_hi)
-    blo = jnp.where(finite, scene.blk_lo, F32_INF)
-    bhi = jnp.where(finite, scene.blk_hi, -F32_INF)
-    slo = jnp.min(blo.reshape(n_super, -1, 3), axis=1)  # (S,3)
-    shi = jnp.max(bhi.reshape(n_super, -1, 3), axis=1)
+    blo, bhi, slo, shi = _super_aabbs(scene, n_super)
 
     omin, omax, dmin, dmax = tile_ray_bounds(ox, oy, oz, dx, dy, dz,
                                              tile_r, act)
@@ -1371,14 +1671,14 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     dz = _pad1(dz, pad_to)
     r = dx.shape[0]
 
-    oterm = pack_origin_cols(scene, origin)
     if stream:
-        # splice the per-frame origin terms into the static record's
-        # reserved columns: one aligned (F, 128) materialization instead
-        # of rebuilding the whole pack from narrow operands
-        spack = jax.lax.dynamic_update_slice(
-            _stream_pack(scene), oterm, (0, SC_OT))
+        # slim records: static 16-col face record + per-frame banked
+        # origin terms (8x less DMA than round 2's fat 128-col record,
+        # and no full-record re-materialization per frame)
+        apack = _anyhit_stream_pack(scene)
+        opack = origin_pack_banked(scene, origin)
     else:
+        oterm = pack_origin_cols(scene, origin)
         fpack = pack_face_columns(scene)
 
     mask, nwords = _mask_words(scene, accel, origin[0], origin[1], origin[2],
@@ -1405,20 +1705,40 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                                 memory_space=pltpu.SMEM)
         order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
                                   memory_space=pltpu.SMEM)
-        outs = pl.pallas_call(
-            _make_streaming_ch_kernel(with_nm, block_f, SUPER_F, n_super,
-                                      tile_r, nsub),
+        hrows = SUPER_F // ANYHIT_BANKS
+        slim_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
+                      for _ in range(5)]
+        slim_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
+        slim = pl.pallas_call(
+            _make_streaming_ch_slim_kernel(SUPER_F, n_super,
+                                           tile_r, nsub),
             grid=grid,
             in_specs=[
                 mask_spec, order_spec, tlb_spec,
                 ray_spec_s, ray_spec_s, ray_spec_s, ray_spec_s,
-                pl.BlockSpec(memory_space=pl.ANY),  # face pack stays HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # face record in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # origin terms in HBM
             ],
-            out_specs=[ray_spec_s] * n_out,
-            out_shape=out_shape,
-            scratch_shapes=_stream_scratch(),
+            out_specs=[ray_spec_s] * 5,
+            out_shape=slim_shape,
+            scratch_shapes=[
+                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
+                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
+                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((SUPER_F, ANYHIT_COLS), jnp.float32),
+                pltpu.VMEM((SUPER_F, 4), jnp.float32),
+            ],
             interpret=interpret,
-        )(mask3, order2[:, None, :], tlb3, dx, dy, dz, texit, spack)
+        )(mask3, order2[:, None, :], tlb3, dx, dy, dz, texit,
+          apack, opack)
+        t_s, face_s, h1_s, h2_s, nd_s = [o[:nrays] for o in slim]
+        return expand_slim_gbuffer(scene, t_s, face_s, h1_s, h2_s,
+                                   nd_s, with_nm)
     else:
         nb = f // block_f
         tlb, order, texit = _vmem_sched(scene, mask, nwords,
@@ -1499,7 +1819,17 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
         assert nwords == n_super, (nwords, n_super)
         nsub = STREAM_BATCH
         grid = (r // (tile_r * nsub),)
-        spack = _stream_pack(scene)
+        apack = _anyhit_stream_pack(scene)
+        # EXACT per-ray union refinement at word granularity: bounce
+        # wavefronts spread directions over an octant, which makes the
+        # interval cull admit 7.6x more clusters than any ray can
+        # actually reach (tools/prof_bounce_mask.py) — zeroing the
+        # words no ray's forward line touches cuts streamed fetches
+        # AND whole-word visits before the schedule is built
+        _, _, slo, shi = _super_aabbs(scene, n_super)
+        sup_ok = perray_super_any(slo, shi, oxp, oyp, ozp,
+                                  dxp, dyp, dzp, tile_r, act=live)
+        mask = jnp.where(sup_ok.reshape(-1), mask, 0)
         mask_spec, ray_spec_s, mask3 = _stream_mask_spec(
             mask, r // tile_r, nwords, tile_r, nsub)
         tlb3, order2, texit = _stream_sched(
@@ -1510,19 +1840,32 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
                                 memory_space=pltpu.SMEM)
         order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
                                   memory_space=pltpu.SMEM)
-        outs = pl.pallas_call(
-            _make_streaming_chp_kernel(block_f, SUPER_F, n_super,
-                                       tile_r, nsub),
+        hrows = SUPER_F // ANYHIT_BANKS
+        slim_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
+                      for _ in range(5)]
+        slim_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
+        slim = pl.pallas_call(
+            _make_streaming_chp_slim_kernel(SUPER_F, n_super,
+                                            tile_r, nsub),
             grid=grid,
             in_specs=[mask_spec, order_spec, tlb_spec]
             + [ray_spec_s] * 7 + [
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),  # slim record in HBM
             ],
-            out_specs=[ray_spec_s] * 11,
-            out_shape=out_shape,
-            scratch_shapes=_stream_scratch(),
+            out_specs=[ray_spec_s] * 5,
+            out_shape=slim_shape,
+            scratch_shapes=[
+                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
+                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((SUPER_F, ANYHIT_COLS), jnp.float32),
+            ],
             interpret=interpret,
-        )(mask3, order2[:, None, :], tlb3, *planes, texit, spack)
+        )(mask3, order2[:, None, :], tlb3, *planes, texit, apack)
+        t_s, face_s, h1_s, h2_s, nd_s = [o[:nrays] for o in slim]
+        return expand_slim_gbuffer(scene, t_s, face_s, h1_s, h2_s,
+                                   nd_s, False)
     else:
         fpack = pack_face_columns(scene)
         dc = jnp.concatenate(
@@ -1597,7 +1940,7 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
         assert nwords == n_super, (nwords, n_super)
         nsub = STREAM_BATCH
         grid = (r // (tile_r * nsub),)
-        spack = _stream_pack(scene)
+        apack = _anyhit_stream_pack(scene)
         mask_spec, ray_spec_s, mask3 = _stream_mask_spec(
             mask, r // tile_r, nwords, tile_r, nsub)
         tlb3, order2, texit = _stream_sched(
@@ -1608,6 +1951,7 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
                                 memory_space=pltpu.SMEM)
         order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
                                   memory_space=pltpu.SMEM)
+        hrows = SUPER_F // ANYHIT_BANKS
         occ = pl.pallas_call(
             _make_streaming_anyhit_kernel(block_f, SUPER_F, n_super,
                                           tile_r, nsub),
@@ -1618,9 +1962,15 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
             ],
             out_specs=ray_spec_s,
             out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
-            scratch_shapes=_stream_scratch(),
+            scratch_shapes=[
+                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
+                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((SUPER_F, ANYHIT_COLS), jnp.float32),
+            ],
             interpret=interpret,
-        )(mask3, order2[:, None, :], tlb3, *args, act, texit, spack)
+        )(mask3, order2[:, None, :], tlb3, *args, act, texit, apack)
     else:
         fpack = pack_face_columns(scene)
         dc = jnp.concatenate(

@@ -152,6 +152,64 @@ def tile_ray_bounds(ox, oy, oz, dx, dy, dz, tile_r, act=None):
     return omin, omax, dmin, dmax
 
 
+def perray_super_any(slo, shi, ox, oy, oz, dx, dy, dz, tile_r: int,
+                     act=None, chunk: int = 64):
+    """(T, S) bool EXACT per-ray union superblock admission: tile t
+    admits superblock s iff SOME live ray of the tile has a forward
+    line (t >= 0) intersecting s's AABB.
+
+    The interval cull (tile_ray_bounds + slab_interval_ok) bounds a
+    tile by its origin box x direction box; for BOUNCE wavefronts the
+    (origin-Morton, octant)-sorted direction spread still spans a
+    90-degree cone, and the measured gap is 7.6x — the interval mask
+    admits 2,136 clusters/tile where the per-ray union admits 283
+    (tools/prof_bounce_mask.py, config 8 bounce-1 wavefront). This
+    test is per-RAY, so direction spread costs nothing. O(R x S)
+    compute, chunked over superblocks to bound temporaries; at word
+    granularity (S = F/1024) that is ~0.27 G tests for the 522k-face
+    PT config — a few ms of VPU time that gates hundreds of ms of
+    streamed fetches + visits.
+
+    Conservative margins: the comparison inflates the exit/deflates the
+    entry by ~100 ulps relative so f32 division rounding can never
+    cull a truly-hit box (same discipline as slab_interval_entry /
+    ray_root_exit). Parked rays (zero direction, far origin)
+    self-cull — axis d == 0 with origin outside the slab yields an
+    empty interval — but PADDING lanes (origin 0 inside a box) do
+    not, so act must mark live rays whenever padding exists."""
+    r = dx.shape[0]
+    n_tiles = r // tile_r
+    s = slo.shape[0]
+    cols = []
+    for c0 in range(0, s, chunk):
+        c1 = min(s, c0 + chunk)
+        lo = slo[c0:c1]  # (C, 3)
+        hi = shi[c0:c1]
+        tn = jnp.zeros((r, c1 - c0), jnp.float32)
+        tf = jnp.full((r, c1 - c0), F32_INF, jnp.float32)
+        for a, (o, d) in enumerate(((ox, dx), (oy, dy), (oz, dz))):
+            o_ = o[:, None]
+            d_ = d[:, None]
+            d_safe = jnp.where(d_ == 0.0, 1.0, d_)
+            ta = (lo[None, :, a] - o_) / d_safe
+            tb = (hi[None, :, a] - o_) / d_safe
+            na = jnp.minimum(ta, tb)
+            fa = jnp.maximum(ta, tb)
+            inside = (o_ >= lo[None, :, a]) & (o_ <= hi[None, :, a])
+            na = jnp.where(d_ == 0.0,
+                           jnp.where(inside, 0.0, F32_INF), na)
+            fa = jnp.where(d_ == 0.0,
+                           jnp.where(inside, F32_INF, -F32_INF), fa)
+            tn = jnp.maximum(tn, na)
+            tf = jnp.minimum(tf, fa)
+        ok = (tf * (1.0 + 1e-5) + 1e-6) >= (tn * (1.0 - 1e-5) - 1e-6)
+        if act is not None:
+            ok = ok & act[:, None]
+        cols.append(jnp.any(ok.reshape(n_tiles, tile_r, c1 - c0),
+                            axis=1))
+    return jnp.concatenate(cols, axis=1)
+
+
 def bvh_walk_mask_words(bvh_pack, n_nodes: int, omin, omax, dmin, dmax,
                         nwords: int):
     """Stackless skip-pointer LBVH walk -> packed cluster mask words.

@@ -253,6 +253,35 @@ class TestStreaming:
         assert np.asarray(ov).any()  # something occludes
         np.testing.assert_array_equal(np.asarray(ov), np.asarray(os_))
 
+    def test_forced_stream_perray_gbuffer_parity(self):
+        """Per-ray-origin (bounce) closest hit: the slim streamed kernel
+        + post-sweep attribute gather must equal the all-VMEM fat
+        kernel exactly (same merge rule, same interpolation products)."""
+        from rust_wgpu_raytracing_tpu.ops.megakernel import (
+            gbuffer_perray_pallas)
+
+        cfg, s = terrain_scene(23)
+        uni = CameraUniforms.unflat(uni_for(cfg, 128, 128))
+        dx, dy, dz = raygen_planar(128, 128, uni)
+        r = dx.shape[0]
+        rng = np.random.default_rng(7)
+        ox = jnp.asarray(uni.origin[0] + rng.uniform(-1, 1, r)
+                         .astype(np.float32))
+        oy = jnp.asarray(uni.origin[1] + rng.uniform(-1, 1, r)
+                         .astype(np.float32))
+        oz = jnp.asarray(uni.origin[2] + rng.uniform(-1, 1, r)
+                         .astype(np.float32))
+        gv = gbuffer_perray_pallas(s.data, ox, oy, oz, dx, dy, dz,
+                                   interpret=True, stream=False)
+        gs = gbuffer_perray_pallas(s.data, ox, oy, oz, dx, dy, dz,
+                                   interpret=True, stream=True)
+        assert np.isfinite(np.asarray(gs.t)).any()
+        for name in ("t", "face", "u", "v", "nd", "uvx", "uvy",
+                     "nx", "ny", "nz", "mat"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gv, name)), np.asarray(getattr(gs, name)),
+                err_msg=name)
+
     def test_reordered_anyhit_matches_plain(self):
         """Origin-Morton shadow reordering is a pure permutation: per-ray
         occlusion must equal the unsorted kernel exactly."""
