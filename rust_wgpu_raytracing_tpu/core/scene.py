@@ -66,18 +66,8 @@ STREAM_COLS = 128
 SC_DC = 40
 SC_OT = 48
 
-# Slim any-hit record: occlusion testing needs exactly 16 of the 128
-# streamed columns (n 0-2, g 3-11, d+c 12-15 — ops/megakernel.py
-# _ah_block), so shadow/NEE passes stream a PACKED record with EIGHT
-# faces per 128-lane row (8x less HBM traffic; VERDICT r2 #2). Within
-# each 1024-face superblock, bank j (cols 16j..16j+16) holds faces
-# j*128..(j+1)*128 — the kernel re-assembles a face-ascending
-# (1024, 16) block with eight static lane slices per visited word.
-ANYHIT_COLS = 16
-ANYHIT_BANKS = 8
-
-# Winner-attribute table for the slim streaming closest-hit: the CH
-# *test* only needs the same 16 columns as the any-hit record, so the
+# Winner-attribute table for the slim-MERGE streaming closest-hit:
+# the CH *test* reads only 16 of the 128 streamed columns, so the
 # streamed sweep tracks (t, face, h1, h2, ndotd) and the winner's
 # shading attributes are resolved AFTER the sweep by one planar gather
 # from this (GPACK_ROWS, F) table — attrs on rows so the gather yields
@@ -133,22 +123,6 @@ def _gpack_np(spack: np.ndarray) -> np.ndarray:
     order must match the GP_* constants."""
     assert len(GPACK_SRC_COLS) == GPACK_ROWS
     return np.ascontiguousarray(spack[:, GPACK_SRC_COLS].T)
-
-
-def _anyhit_pack_np(spack: np.ndarray) -> np.ndarray:
-    """Host build of the slim (padded/8, 128) any-hit streaming record
-    from the full spack (see ANYHIT_COLS comment for the bank layout).
-    Values are byte-identical copies of the spack columns the any-hit
-    math reads, so occlusion results are bit-exact vs the fat record."""
-    p = spack.shape[0]
-    assert p % SUPER_F == 0, p
-    slim = np.concatenate(
-        [spack[:, 0:12], spack[:, SC_DC:SC_DC + 4]], axis=1)  # (P, 16)
-    s = p // SUPER_F
-    return np.ascontiguousarray(
-        slim.reshape(s, ANYHIT_BANKS, SUPER_F // ANYHIT_BANKS, ANYHIT_COLS)
-        .transpose(0, 2, 1, 3)
-        .reshape(p // ANYHIT_BANKS, STREAM_COLS))
 
 
 @dataclass
@@ -248,12 +222,6 @@ class SceneData:
     # (F, k) operand into the result's (8,128)-tiled layout — ~18 one-GB
     # copies at 2M faces, an HBM OOM the host build avoids entirely.
     spack: jax.Array = None
-
-    # (F/8, 128) f32 slim any-hit/closest-hit-test streaming record
-    # (host-precomputed, same gating as spack; (0, 128) when not
-    # streaming). See _anyhit_pack_np for the bank layout — 8x less
-    # shadow- and primary-pass DMA than the full record.
-    apack: jax.Array = None
 
     # (GPACK_ROWS, F) f32 winner-attribute table for the slim streaming
     # closest-hit's post-sweep gather ((0, 0) when not streaming).
@@ -464,11 +432,9 @@ class Scene:
                 spack_np = _stream_pack_np(padded, n, d, g, c, inv_denom,
                                            uv3, vn3, face_mat, orig_ids,
                                            tangent, bitangent)
-                apack_np = _anyhit_pack_np(spack_np)
                 gpack_np = _gpack_np(spack_np)
             else:
                 spack_np = np.zeros((0, STREAM_COLS), np.float32)
-                apack_np = np.zeros((0, STREAM_COLS), np.float32)
                 gpack_np = np.zeros((GPACK_ROWS, 0), np.float32)
         else:
             p0 = np.zeros((0, 3), np.float32)
@@ -488,7 +454,6 @@ class Scene:
             bvh_pack = np.zeros((9, 1), np.float32)
             bvh_nodes = 0
             spack_np = np.zeros((0, STREAM_COLS), np.float32)
-            apack_np = np.zeros((0, STREAM_COLS), np.float32)
             gpack_np = np.zeros((GPACK_ROWS, 0), np.float32)
 
         # ---- textures (diffuse sRGB-decoded; bump maps raw) ----
@@ -624,7 +589,6 @@ class Scene:
             tri_bitangent=jnp.asarray(_pad_rows(bitangent, padded)),
             mat_bump=jnp.asarray(np.array(mat_bump, np.int32)),
             spack=jnp.asarray(spack_np),
-            apack=jnp.asarray(apack_np),
             gpack=jnp.asarray(gpack_np),
             num_faces=num_faces,
             num_spheres=len(spheres),

@@ -223,7 +223,6 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             # the template's host-precomputed streaming records describe
             # the untransformed mesh — stale once instances move
             spack=jnp.zeros((0, STREAM_COLS), jnp.float32),
-            apack=jnp.zeros((0, STREAM_COLS), jnp.float32),
             gpack=jnp.zeros((GPACK_ROWS, 0), jnp.float32),
             # the host-built radix tree is stale once instances move
             # (accel="bvh" only needs the refit blk_lo/hi, so the
@@ -240,17 +239,15 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             # build OOMs HBM at 2M faces on layout-padded narrow temps;
             # ops/megakernel.pack_stream_columns_chunked) — every
             # kernel of the frame then shares the refreshed record
-            from .megakernel import (anyhit_pack_from_stream,
-                                     gpack_from_stream,
+            from .megakernel import (gpack_from_stream,
                                      pack_stream_columns_chunked)
 
             sp = pack_stream_columns_chunked(sd)
-            # derive the slim any-hit record + winner-attribute table
-            # here too, so the frame's kernels (separate jit entries)
-            # don't each re-derive them from spack
+            # derive the winner-attribute table here too, so the
+            # frame's kernels (separate jit entries) don't each
+            # re-derive it from spack
             sd = dataclasses.replace(
-                sd, spack=sp, apack=anyhit_pack_from_stream(sp),
-                gpack=gpack_from_stream(sp))
+                sd, spack=sp, gpack=gpack_from_stream(sp))
         return sd
 
 

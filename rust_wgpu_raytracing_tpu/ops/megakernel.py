@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import CameraUniforms
-from ..core.scene import (ANYHIT_BANKS, ANYHIT_COLS, CULL_BLOCK,
+from ..core.scene import (CULL_BLOCK,
                           GP_INVD, GP_MAT, GP_TAN, GP_UN, GP_UV, GP_VN,
                           GPACK_ROWS, GPACK_SRC_COLS, SC_DC, SC_OT,
                           STREAM_COLS, STREAM_FACES, SUPER_F, SceneData)
@@ -204,73 +204,6 @@ def pack_stream_columns_chunked(scene: SceneData) -> jnp.ndarray:
             tri_c=sl(scene.tri_c))
         chunk = pack_stream_columns(sub)
         return jax.lax.dynamic_update_slice(acc, chunk, (s * SUPER_F, 0))
-
-    return jax.lax.fori_loop(0, ns, body, out)
-
-
-def anyhit_pack_from_stream(spack: jnp.ndarray) -> jnp.ndarray:
-    """In-jit derivation of the slim (F/8, 128) any-hit record from a
-    full streaming record (device-refit instanced scenes whose host
-    apack is stale). Chunked per superblock so every temp stays small
-    — same bank layout and bit-identical values as the host build
-    (core/scene.py _anyhit_pack_np)."""
-    fpad = spack.shape[0]
-    ns = fpad // SUPER_F
-    hrows = SUPER_F // ANYHIT_BANKS
-    out = jnp.zeros((fpad // ANYHIT_BANKS, STREAM_COLS), jnp.float32)
-
-    def body(s, acc):
-        chunk = jax.lax.dynamic_slice_in_dim(spack, s * SUPER_F,
-                                             SUPER_F, 0)
-        slim = jnp.concatenate(
-            [chunk[:, 0:12], chunk[:, SC_DC:SC_DC + 4]], axis=1)
-        banked = (slim.reshape(ANYHIT_BANKS, hrows, ANYHIT_COLS)
-                  .transpose(1, 0, 2).reshape(hrows, STREAM_COLS))
-        return jax.lax.dynamic_update_slice(acc, banked, (s * hrows, 0))
-
-    return jax.lax.fori_loop(0, ns, body, out)
-
-
-def _anyhit_stream_pack(scene: SceneData) -> jnp.ndarray:
-    """The slim any-hit streaming record: host-precomputed
-    SceneData.apack when fresh, else derived in-jit from the (possibly
-    itself in-jit rebuilt) full record."""
-    f = scene.tri_p0.shape[0]
-    if scene.apack is not None and scene.apack.shape[0] * ANYHIT_BANKS == f:
-        return scene.apack
-    return anyhit_pack_from_stream(_stream_pack(scene))
-
-
-def origin_pack_banked(scene: SceneData, origin) -> jnp.ndarray:
-    """Per-frame (F/8, 128) banked origin-term record for the slim
-    shared-origin streaming closest-hit: within each superblock, bank
-    j's cols 16j..16j+4 carry [t_num, hc0, hc1, hc2] for face
-    j*128+row (the apack bank layout). Built CHUNKED per superblock —
-    the one-shot (F, 8) build materializes a lane-padded GB at 2M
-    faces — with the same per-row dot products as pack_origin_cols, so
-    streamed and all-VMEM closest hits stay bit-identical. Replaces
-    round 2's full (F, 128) dynamic_update_slice re-materialization of
-    the fat record every frame."""
-    o = jnp.asarray(origin, jnp.float32)
-    f = scene.tri_p0.shape[0]
-    ns = f // SUPER_F
-    hrows = SUPER_F // ANYHIT_BANKS
-    out = jnp.zeros((f // ANYHIT_BANKS, STREAM_COLS), jnp.float32)
-
-    def body(s, acc):
-        def sl(a):
-            return jax.lax.dynamic_slice_in_dim(a, s * SUPER_F, SUPER_F, 0)
-
-        t_num = -(jnp.matmul(sl(scene.tri_n), o, precision=HI)
-                  + sl(scene.tri_d))
-        hc = jnp.einsum("fij,j->fi", sl(scene.tri_g), o,
-                        precision=HI) - sl(scene.tri_c)
-        o16 = jnp.concatenate(
-            [t_num[:, None], hc,
-             jnp.zeros((SUPER_F, ANYHIT_COLS - 4), jnp.float32)], axis=1)
-        banked = (o16.reshape(ANYHIT_BANKS, hrows, ANYHIT_COLS)
-                  .transpose(1, 0, 2).reshape(hrows, STREAM_COLS))
-        return jax.lax.dynamic_update_slice(acc, banked, (s * hrows, 0))
 
     return jax.lax.fori_loop(0, ns, body, out)
 
@@ -653,21 +586,26 @@ def _make_anyhit_kernel(block_f: int, n_blocks: int):
     return kernel
 
 
-def _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref):
-    """Any-hit block merge: occ |= any face in the block occludes."""
+def _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref,
+              gc0=0, dcc0=0):
+    """Any-hit block merge: occ |= any face in the block occludes.
+    gc0/dcc0: static column offsets — the banked slim stream buffers
+    pass the full 128-lane row slab and read bank jb's columns in
+    place (single-lane broadcasts at static lanes; a (32, 16) window
+    slice would cost a lane-shift relayout per visit)."""
 
-    def col(m, k):
-        return m[:, k:k + 1]
+    def col(m, k, m0=0):
+        return m[:, m0 + k:m0 + k + 1]
 
-    ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
-    ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
-    t = -(ndoto + col(dc, 0)) / ndotd
+    ndotd = col(g, 0, gc0) * dx + col(g, 1, gc0) * dy + col(g, 2, gc0) * dz
+    ndoto = col(g, 0, gc0) * ox + col(g, 1, gc0) * oy + col(g, 2, gc0) * oz
+    t = -(ndoto + col(dc, 0, dcc0)) / ndotd
 
     def edge(k, c):
-        og = (col(g, k) * ox + col(g, k + 1) * oy
-              + col(g, k + 2) * oz - col(dc, c))
-        dg = (col(g, k) * dx + col(g, k + 1) * dy
-              + col(g, k + 2) * dz)
+        og = (col(g, k, gc0) * ox + col(g, k + 1, gc0) * oy
+              + col(g, k + 2, gc0) * oz - col(dc, c, dcc0))
+        dg = (col(g, k, gc0) * dx + col(g, k + 1, gc0) * dy
+              + col(g, k + 2, gc0) * dz)
         return og + t * dg
 
     h0 = edge(3, 1)
@@ -937,8 +875,7 @@ class _SubView:
 
 def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
                       visit_bit, nsub=1, done_fn=None,
-                      sub_done_fn=None, order_ref=None, stop_fn=None,
-                      word_begin=None):
+                      sub_done_fn=None, order_ref=None, stop_fn=None):
     """HBM-streaming variant of _mask_word_loop (VERDICT r1: breaks the
     all-VMEM scene-size ceiling). The (F, STREAM_COLS) face pack stays
     in HBM; one packed mask word covers exactly one superblock of sup_f
@@ -984,12 +921,20 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
     optional SMEM (n_super,) i32 visit permutation (shadow kernels sort
     near-to-far along the light; closest-hit sorts by entry t).
     streams: list of (hbm_ref, (buf0, buf1), (sem0, sem1), rows) DMA
-    chains advanced in lockstep — rows is the HBM rows per superblock
-    (the slim records pack several faces per 128-lane row; the shared-
-    origin closest-hit streams a second per-frame origin-term record).
-    word_begin(slot_bufs, s): optional per-visited-word hook run once
-    before the subtile visits with this parity's buffer of every
-    stream (the slim kernels unpack the banked records there)."""
+    chains advanced in lockstep — rows is the HBM rows per superblock.
+    visit_bit receives (slot_bufs, s, b, sub) with slot_bufs the
+    current parity's VMEM buffer of every stream.
+
+    MEASURED DEAD END (round 3): a 16-col "slim" record (8 faces per
+    128-lane row, 8x less DMA) lost to this fat-record loop at every
+    scale — post-batching the streamed frames are bound by VISIT
+    COMPUTE, not DMA (522k primary ~63-66 ms either way; 2M: fat 182
+    vs slim 253 ms). Re-assembling face-ascending blocks cost ~8
+    lane-shift copies per visited word; reading the banked record in
+    place (static per-bank lane offsets) was 2.4x worse again. What
+    DID survive from the experiment is the slim MERGE: track only
+    (t, face, h1, h2, nd) during the sweep and gather the winner's
+    shading attributes afterwards (expand_slim_gbuffer)."""
     bits = sup_f // block_f
 
     def word_id(j):
@@ -1022,6 +967,7 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
 
     def visit_word(j, slot):
         s = word_id(j)
+        sbufs = [st[1][slot] for st in streams]
         for sub in range(nsub):  # static unroll: per-sub static slices
             word = mask_ref[0, sub, s]
             pred = word != 0
@@ -1034,7 +980,7 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
                 def bit_step(b_, c2):
                     @pl.when(((word >> b_) & 1) > 0)
                     def _():
-                        visit_bit(streams[0][1][slot], s, b_, sub)
+                        visit_bit(sbufs, s, b_, sub)
                     return c2
 
                 jax.lax.fori_loop(0, bits, bit_step, 0)
@@ -1063,8 +1009,6 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
 
             @pl.when(jnp.logical_and(par == p, jnp.logical_not(stop)))
             def _(p=p):
-                if word_begin is not None:
-                    word_begin([st[1][p] for st in streams], word_id(j))
                 visit_word(j, p)
 
         return jn, 1 - par, pre
@@ -1081,6 +1025,15 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
 
     jax.lax.while_loop(lambda c: c[2], body,
                        (j0, jnp.int32(0), pending0))
+
+
+def _stream_scratch():
+    return [
+        pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
+        pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    ]
 
 
 # ray subtiles batched per streaming grid step: one superblock fetch
@@ -1127,24 +1080,29 @@ class _Row2View:
 
 
 def _ch_block_slim(g, o, dx, dy, dz, face_base,
-                   t_ref, face_ref, h1_ref, h2_ref, nd_ref):
+                   t_ref, face_ref, h1_ref, h2_ref, nd_ref,
+                   gc0=0, oc0=0):
     """Shared-origin closest-hit block merge over the SLIM 16-col
     record (g: n 0-2, edge planes 3-11; o: per-face origin terms from
-    the per-frame banked record). Tracks only the lexicographic
+    the per-frame banked record; gc0/oc0: static bank column offsets,
+    see _ah_block). Tracks only the lexicographic
     (t, face) winner's raw h1/h2/ndotd — shading attributes resolve
     after the sweep (expand_slim_gbuffer) with bit-identical values
     to the fat _ch_block (the winner's u = h1*invd is the same
     product of the same two floats)."""
 
-    def col(m, k):
-        return m[:, k:k + 1]
+    def col(m, k, m0=0):
+        return m[:, m0 + k:m0 + k + 1]
 
-    ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
-    t = col(o, 0) / ndotd
-    h0 = col(o, 1) + t * (col(g, 3) * dx + col(g, 4) * dy + col(g, 5) * dz)
-    h1 = col(o, 2) + t * (col(g, 6) * dx + col(g, 7) * dy + col(g, 8) * dz)
-    h2 = col(o, 3) + t * (col(g, 9) * dx + col(g, 10) * dy
-                          + col(g, 11) * dz)
+    ndotd = (col(g, 0, gc0) * dx + col(g, 1, gc0) * dy
+             + col(g, 2, gc0) * dz)
+    t = col(o, 0, oc0) / ndotd
+    h0 = col(o, 1, oc0) + t * (col(g, 3, gc0) * dx + col(g, 4, gc0) * dy
+                               + col(g, 5, gc0) * dz)
+    h1 = col(o, 2, oc0) + t * (col(g, 6, gc0) * dx + col(g, 7, gc0) * dy
+                               + col(g, 8, gc0) * dz)
+    h2 = col(o, 3, oc0) + t * (col(g, 9, gc0) * dx + col(g, 10, gc0) * dy
+                               + col(g, 11, gc0) * dz)
     valid = (
         (jnp.abs(ndotd) >= K_EPSILON)
         & (t >= 0.0)
@@ -1157,23 +1115,24 @@ def _ch_block_slim(g, o, dx, dy, dz, face_base,
 
 
 def _chp_block_slim(g, dx, dy, dz, ox, oy, oz, face_base,
-                    t_ref, face_ref, h1_ref, h2_ref, nd_ref):
-    """Per-ray-origin closest-hit block merge over the slim record
-    (d at col 12, c at 13-15) — same math and epsilons as the fat
-    _chp_block, slim-merge outputs."""
+                    t_ref, face_ref, h1_ref, h2_ref, nd_ref,
+                    gc0=0, dcc0=SC_DC):
+    """Per-ray-origin closest-hit block merge over the streamed record
+    slab (g planes at cols gc0.., d + c at cols dcc0..) — same math
+    and epsilons as the fat _chp_block, slim-merge outputs."""
 
-    def col(m, k):
-        return m[:, k:k + 1]
+    def col(m, k, m0=0):
+        return m[:, m0 + k:m0 + k + 1]
 
-    ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
-    ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
-    t = -(ndoto + col(g, 12)) / ndotd
+    ndotd = col(g, 0, gc0) * dx + col(g, 1, gc0) * dy + col(g, 2, gc0) * dz
+    ndoto = col(g, 0, gc0) * ox + col(g, 1, gc0) * oy + col(g, 2, gc0) * oz
+    t = -(ndoto + col(g, 0, dcc0)) / ndotd
 
     def hplane(k, c):
-        og = (col(g, k) * ox + col(g, k + 1) * oy
-              + col(g, k + 2) * oz - col(g, 12 + c))
-        dg = (col(g, k) * dx + col(g, k + 1) * dy
-              + col(g, k + 2) * dz)
+        og = (col(g, k, gc0) * ox + col(g, k + 1, gc0) * oy
+              + col(g, k + 2, gc0) * oz - col(g, c, dcc0))
+        dg = (col(g, k, gc0) * dx + col(g, k + 1, gc0) * dy
+              + col(g, k + 2, gc0) * dz)
         return og + t * dg
 
     h0 = hplane(3, 1)
@@ -1221,47 +1180,30 @@ def _merge_slim(t, valid, h1, h2, ndotd, face_base,
     merge(nd_ref, pick(ndotd))
 
 
-def _slim_unpack(mask_ref, nsub, unp_refs, slot_bufs, s, col_widths):
-    """Re-assemble face-ascending (SUPER_F, w) blocks from the banked
-    slim records' 8 lane groups (static 16-lane slices) — one VMEM
-    copy per visited word, amortized over its subtiles and set bits;
-    banks with no set bit in the union word are skipped."""
-    banks = ANYHIT_BANKS
-    hrows = SUPER_F // banks
-    bits_per_bank = (SUPER_F // CULL_BLOCK) // banks
-    union = mask_ref[0, nsub, s]
-    bank_mask = (1 << bits_per_bank) - 1
-    for jb in range(banks):
-        @pl.when(((union >> (bits_per_bank * jb)) & bank_mask) != 0)
-        def _(jb=jb):
-            for unp, buf, w in zip(unp_refs, slot_bufs, col_widths):
-                unp[jb * hrows:(jb + 1) * hrows, :] = \
-                    buf[:, ANYHIT_COLS * jb:ANYHIT_COLS * jb + w]
-
-
 def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
                                    tile_r: int, nsub: int):
-    """Shared-origin closest-hit with the face data STREAMED from HBM
-    as the SLIM 16-col record (apack) plus a per-frame banked
-    origin-term record (origin_pack_banked) — together 8x less DMA per
-    superblock than the fat 128-col record, which is what the 2M-face
-    frames were bound on (VERDICT r2 #1/#2). nsub ray subtiles share
-    each fetch; words are visited FRONT-TO-BACK (order_ref, ascending
-    batch-min entry t) with exact early termination: a word whose
-    entry lower bound (tlb_ref) exceeds max_ray(min(best_t,
-    root_exit)) cannot beat the lexicographic (t, face) winner of any
-    ray, so its visit — and under the sorted order the rest of the
-    sweep — is skipped (see _stream_sched). Outputs are the slim
-    (t, face, h1, h2, nd) planes; expand_slim_gbuffer resolves the
-    fat G-buffer bit-identically after the sweep."""
-    assert sup_f == SUPER_F
-    hrows = sup_f // ANYHIT_BANKS
+    """Shared-origin closest-hit, fat streamed record + SLIM MERGE.
+
+    The (F, 128) record (spack with the frame's origin terms spliced
+    at SC_OT) streams from HBM exactly as round 2's kernel; what
+    changed is the in-sweep state: only the lexicographic (t, face)
+    winner's raw (h1, h2, ndotd) is tracked — 5 output planes instead
+    of 11-20, which removes ~2 vector ops per shading attribute per
+    block visit from the hot loop (the streamed frames are bound by
+    visit compute, not DMA — see _stream_word_loop). Shading
+    attributes resolve after the sweep by one planar gather
+    (expand_slim_gbuffer), bit-identical to the fat merge. nsub ray
+    subtiles share each fetch; words are visited FRONT-TO-BACK
+    (order_ref, ascending batch-min entry t) with exact early
+    termination: a word whose entry lower bound (tlb_ref) exceeds
+    max_ray(min(best_t, root_exit)) cannot beat any ray's winner, so
+    its visit — and under the sorted order the rest of the sweep — is
+    skipped (see _stream_sched)."""
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
-               texit_ref, apack_hbm, opack_hbm,
+               texit_ref, pack_hbm,
                t_ref, face_ref, h1_ref, h2_ref, nd_ref,
-               abuf0, abuf1, asem0, asem1,
-               obuf0, obuf1, osem0, osem1, aunp_ref, ounp_ref):
+               buf0, buf1, sem0, sem1):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         for r_ in (face_ref, h1_ref, h2_ref, nd_ref):
             r_[:] = jnp.zeros_like(r_)
@@ -1277,17 +1219,13 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
                                     nd_ref))
             subs.append((dx, dy, dz, views))
 
-        def word_begin(slot_bufs, s):
-            _slim_unpack(mask_ref, nsub, (aunp_ref, ounp_ref),
-                         slot_bufs, s, (ANYHIT_COLS, 4))
-
-        def visit_bit(buf, s, b, sub):
+        def visit_bit(sbufs, s, b_, sub):
             dx, dy, dz, v = subs[sub]
-            base = pl.multiple_of(b * CULL_BLOCK, CULL_BLOCK)
-            g = aunp_ref[pl.ds(base, CULL_BLOCK), :]
-            o = ounp_ref[pl.ds(base, CULL_BLOCK), :]
-            _ch_block_slim(g, o, dx, dy, dz,
-                           s * sup_f + b * CULL_BLOCK, *v)
+            r0 = pl.multiple_of(b_ * CULL_BLOCK, CULL_BLOCK)
+            blk = sbufs[0][pl.ds(r0, CULL_BLOCK), :]
+            _ch_block_slim(blk, blk, dx, dy, dz,
+                           s * sup_f + b_ * CULL_BLOCK, *v,
+                           gc0=0, oc0=SC_OT)
 
         def sub_skip(sub, s):
             s0 = sub * tile_r
@@ -1302,28 +1240,24 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
 
         _stream_word_loop(
             mask_ref, n_super, sup_f, CULL_BLOCK,
-            [(apack_hbm, (abuf0, abuf1), (asem0, asem1), hrows),
-             (opack_hbm, (obuf0, obuf1), (osem0, osem1), hrows)],
+            [(pack_hbm, (buf0, buf1), (sem0, sem1), sup_f)],
             visit_bit, nsub=nsub, sub_done_fn=sub_skip,
-            order_ref=_Row2View(order_ref), stop_fn=stop_word,
-            word_begin=word_begin)
+            order_ref=_Row2View(order_ref), stop_fn=stop_word)
 
     return kernel
 
 
 def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
                                     tile_r: int, nsub: int):
-    """Per-ray-origin closest-hit (bounce rays) over the slim streamed
-    record — origin terms computed in-kernel from d/c (cols 12-15),
-    exactly the fat _chp_block math; same schedule contract as the
-    shared-origin slim kernel."""
-    assert sup_f == SUPER_F
-    hrows = sup_f // ANYHIT_BANKS
+    """Per-ray-origin closest-hit (bounce rays): fat streamed record +
+    slim merge — origin terms computed in-kernel from d/c (cols
+    SC_DC..), exactly the fat _chp_block math; same schedule contract
+    as the shared-origin kernel."""
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
-               ox_ref, oy_ref, oz_ref, texit_ref, apack_hbm,
+               ox_ref, oy_ref, oz_ref, texit_ref, pack_hbm,
                t_ref, face_ref, h1_ref, h2_ref, nd_ref,
-               buf0, buf1, sem0, sem1, unp_ref):
+               buf0, buf1, sem0, sem1):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         for r_ in (face_ref, h1_ref, h2_ref, nd_ref):
             r_[:] = jnp.zeros_like(r_)
@@ -1339,16 +1273,13 @@ def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
                                     nd_ref))
             subs.append((rows, views))
 
-        def word_begin(slot_bufs, s):
-            _slim_unpack(mask_ref, nsub, (unp_ref,), slot_bufs, s,
-                         (ANYHIT_COLS,))
-
-        def visit_bit(buf, s, b, sub):
+        def visit_bit(sbufs, s, b_, sub):
             (dx, dy, dz, ox, oy, oz), v = subs[sub]
-            base = pl.multiple_of(b * CULL_BLOCK, CULL_BLOCK)
-            blk = unp_ref[pl.ds(base, CULL_BLOCK), :]
+            r0 = pl.multiple_of(b_ * CULL_BLOCK, CULL_BLOCK)
+            blk = sbufs[0][pl.ds(r0, CULL_BLOCK), :]
             _chp_block_slim(blk, dx, dy, dz, ox, oy, oz,
-                            s * sup_f + b * CULL_BLOCK, *v)
+                            s * sup_f + b_ * CULL_BLOCK, *v,
+                            gc0=0, dcc0=SC_DC)
 
         def sub_skip(sub, s):
             s0 = sub * tile_r
@@ -1363,25 +1294,20 @@ def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
 
         _stream_word_loop(
             mask_ref, n_super, sup_f, CULL_BLOCK,
-            [(apack_hbm, (buf0, buf1), (sem0, sem1), hrows)],
+            [(pack_hbm, (buf0, buf1), (sem0, sem1), sup_f)],
             visit_bit, nsub=nsub, sub_done_fn=sub_skip,
-            order_ref=_Row2View(order_ref), stop_fn=stop_word,
-            word_begin=word_begin)
+            order_ref=_Row2View(order_ref), stop_fn=stop_word)
 
     return kernel
 
 
 def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
                                   tile_r: int, nsub: int):
-    """Shadow any-hit with per-ray origins, faces HBM-streamed from the
-    SLIM 16-col record (scene.apack: 8 faces per 128-lane row — the
-    any-hit math reads 16 of the fat record's 128 columns, so the slim
-    fetch moves 8x less HBM per superblock; VERDICT r2 #2). Each
-    visited word re-assembles a face-ascending (sup_f, 16) block from
-    the 8 banked lane groups (static 16-lane slices, one ~64 KB VMEM
-    copy amortized over the word's subtiles and set bits; banks with no
-    set bit in the union word are skipped). nsub ray subtiles share
-    each fetch. Words are visited in ascending batch-min ENTRY-t
+    """Shadow any-hit with per-ray origins, fat HBM-streamed record
+    (a 16-col slim record was measured and rejected — the pass is
+    visit-compute bound, not DMA bound; see _stream_word_loop). nsub
+    ray subtiles share each fetch.
+    Words are visited in ascending batch-min ENTRY-t
     order (the generalization of round 2's near-to-far light sort) with
     two exact pruning rules on top of the occlusion early exit:
     - a subtile skips word s when tlb[sub, s] > max over its
@@ -1394,14 +1320,10 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
     - under the sorted order the same bound stops the whole batch
       (fetches included)."""
     assert sup_f == SUPER_F and block_f == CULL_BLOCK, (sup_f, block_f)
-    banks = ANYHIT_BANKS
-    hrows = sup_f // banks  # HBM rows per superblock (8 faces/row)
-    acols = ANYHIT_COLS
-    bits_per_bank = (sup_f // block_f) // banks
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref, act_ref, texit_ref, pack_hbm,
-               occ_ref, buf0, buf1, sem0, sem1, unp_ref):
+               occ_ref, buf0, buf1, sem0, sem1):
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
         subs = []
@@ -1414,23 +1336,12 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
                          _SubView(occ_ref, s0, tile_r),
                          _SubView(texit_ref, s0, tile_r)))
 
-        def word_begin(slot_bufs, s):
-            buf = slot_bufs[0]
-            union = mask_ref[0, nsub, s]
-            bank_mask = (1 << bits_per_bank) - 1
-            for jb in range(banks):
-                @pl.when(((union >> (bits_per_bank * jb))
-                          & bank_mask) != 0)
-                def _(jb=jb):
-                    unp_ref[jb * hrows:(jb + 1) * hrows, :] = \
-                        buf[:, acols * jb:acols * (jb + 1)]
-
-        def visit_bit(buf, s, b, sub):
+        def visit_bit(sbufs, s, b_, sub):
             (dx, dy, dz, ox, oy, oz), act_v, occ_v, _ = subs[sub]
-            base = pl.multiple_of(b * block_f, block_f)
-            blk = unp_ref[pl.ds(base, block_f), :]
-            _ah_block(blk, blk[:, 12:16], dx, dy, dz, ox, oy, oz,
-                      act_v, occ_v)
+            r0 = pl.multiple_of(b_ * block_f, block_f)
+            blk = sbufs[0][pl.ds(r0, block_f), :]
+            _ah_block(blk, blk, dx, dy, dz, ox, oy, oz,
+                      act_v, occ_v, gc0=0, dcc0=SC_DC)
 
         def need(act_v, occ_v, tex_v):
             # per-ray t ceiling: root exit while unoccluded+active,
@@ -1452,13 +1363,12 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
             return tlb_ref[0, nsub, s] > bound
 
         _stream_word_loop(mask_ref, n_super, sup_f, block_f,
-                          [(pack_hbm, (buf0, buf1), (sem0, sem1), hrows)],
+                          [(pack_hbm, (buf0, buf1), (sem0, sem1), sup_f)],
                           visit_bit,
                           nsub=nsub, done_fn=all_occluded,
                           sub_done_fn=sub_skip,
                           order_ref=_Row2View(order_ref),
-                          stop_fn=stop_word,
-                          word_begin=word_begin)
+                          stop_fn=stop_word)
 
     return kernel
 
@@ -1671,14 +1581,14 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     dz = _pad1(dz, pad_to)
     r = dx.shape[0]
 
+    oterm = pack_origin_cols(scene, origin)
     if stream:
-        # slim records: static 16-col face record + per-frame banked
-        # origin terms (8x less DMA than round 2's fat 128-col record,
-        # and no full-record re-materialization per frame)
-        apack = _anyhit_stream_pack(scene)
-        opack = origin_pack_banked(scene, origin)
+        # splice the per-frame origin terms into the static record's
+        # reserved columns: one aligned (F, 128) materialization
+        # instead of rebuilding the whole pack from narrow operands
+        spack = jax.lax.dynamic_update_slice(
+            _stream_pack(scene), oterm, (0, SC_OT))
     else:
-        oterm = pack_origin_cols(scene, origin)
         fpack = pack_face_columns(scene)
 
     mask, nwords = _mask_words(scene, accel, origin[0], origin[1], origin[2],
@@ -1705,7 +1615,6 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                                 memory_space=pltpu.SMEM)
         order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
                                   memory_space=pltpu.SMEM)
-        hrows = SUPER_F // ANYHIT_BANKS
         slim_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
                       for _ in range(5)]
         slim_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
@@ -1716,26 +1625,13 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
             in_specs=[
                 mask_spec, order_spec, tlb_spec,
                 ray_spec_s, ray_spec_s, ray_spec_s, ray_spec_s,
-                pl.BlockSpec(memory_space=pl.ANY),  # face record in HBM
-                pl.BlockSpec(memory_space=pl.ANY),  # origin terms in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # face pack stays HBM
             ],
             out_specs=[ray_spec_s] * 5,
             out_shape=slim_shape,
-            scratch_shapes=[
-                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
-                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
-                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.VMEM((SUPER_F, ANYHIT_COLS), jnp.float32),
-                pltpu.VMEM((SUPER_F, 4), jnp.float32),
-            ],
+            scratch_shapes=_stream_scratch(),
             interpret=interpret,
-        )(mask3, order2[:, None, :], tlb3, dx, dy, dz, texit,
-          apack, opack)
+        )(mask3, order2[:, None, :], tlb3, dx, dy, dz, texit, spack)
         t_s, face_s, h1_s, h2_s, nd_s = [o[:nrays] for o in slim]
         return expand_slim_gbuffer(scene, t_s, face_s, h1_s, h2_s,
                                    nd_s, with_nm)
@@ -1819,7 +1715,7 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
         assert nwords == n_super, (nwords, n_super)
         nsub = STREAM_BATCH
         grid = (r // (tile_r * nsub),)
-        apack = _anyhit_stream_pack(scene)
+        spack = _stream_pack(scene)
         # EXACT per-ray union refinement at word granularity: bounce
         # wavefronts spread directions over an octant, which makes the
         # interval cull admit 7.6x more clusters than any ray can
@@ -1840,7 +1736,6 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
                                 memory_space=pltpu.SMEM)
         order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
                                   memory_space=pltpu.SMEM)
-        hrows = SUPER_F // ANYHIT_BANKS
         slim_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
                       for _ in range(5)]
         slim_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
@@ -1850,19 +1745,13 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
             grid=grid,
             in_specs=[mask_spec, order_spec, tlb_spec]
             + [ray_spec_s] * 7 + [
-                pl.BlockSpec(memory_space=pl.ANY),  # slim record in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # face pack stays HBM
             ],
             out_specs=[ray_spec_s] * 5,
             out_shape=slim_shape,
-            scratch_shapes=[
-                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
-                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.VMEM((SUPER_F, ANYHIT_COLS), jnp.float32),
-            ],
+            scratch_shapes=_stream_scratch(),
             interpret=interpret,
-        )(mask3, order2[:, None, :], tlb3, *planes, texit, apack)
+        )(mask3, order2[:, None, :], tlb3, *planes, texit, spack)
         t_s, face_s, h1_s, h2_s, nd_s = [o[:nrays] for o in slim]
         return expand_slim_gbuffer(scene, t_s, face_s, h1_s, h2_s,
                                    nd_s, False)
@@ -1940,7 +1829,7 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
         assert nwords == n_super, (nwords, n_super)
         nsub = STREAM_BATCH
         grid = (r // (tile_r * nsub),)
-        apack = _anyhit_stream_pack(scene)
+        spack = _stream_pack(scene)
         mask_spec, ray_spec_s, mask3 = _stream_mask_spec(
             mask, r // tile_r, nwords, tile_r, nsub)
         tlb3, order2, texit = _stream_sched(
@@ -1951,7 +1840,6 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
                                 memory_space=pltpu.SMEM)
         order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
                                   memory_space=pltpu.SMEM)
-        hrows = SUPER_F // ANYHIT_BANKS
         occ = pl.pallas_call(
             _make_streaming_anyhit_kernel(block_f, SUPER_F, n_super,
                                           tile_r, nsub),
@@ -1962,15 +1850,9 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
             ],
             out_specs=ray_spec_s,
             out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
-                pltpu.VMEM((hrows, STREAM_COLS), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.VMEM((SUPER_F, ANYHIT_COLS), jnp.float32),
-            ],
+            scratch_shapes=_stream_scratch(),
             interpret=interpret,
-        )(mask3, order2[:, None, :], tlb3, *args, act, texit, apack)
+        )(mask3, order2[:, None, :], tlb3, *args, act, texit, spack)
     else:
         fpack = pack_face_columns(scene)
         dc = jnp.concatenate(
