@@ -66,22 +66,35 @@ STREAM_COLS = 128
 SC_DC = 40
 SC_OT = 48
 
-# Winner-attribute table for the slim-MERGE streaming closest-hit:
-# the CH *test* reads only 16 of the 128 streamed columns, so the
-# streamed sweep tracks (t, face, h1, h2, ndotd) and the winner's
-# shading attributes are resolved AFTER the sweep by one planar gather
-# from this (GPACK_ROWS, F) table — attrs on rows so the gather yields
-# (A, R) with rays on lanes (same trick as the packed texel pools).
+# Winner-attribute table for the slim-MERGE closest-hit kernels: the
+# CH *test* reads only 16 of the 128 streamed columns, so the sweep
+# tracks only the lexicographic (t, face) winner and EVERYTHING else —
+# barycentrics, plane values, normals, uv, material — is resolved
+# AFTER the sweep by one planar gather from this (GPACK_ROWS, F) table
+# — attrs on rows so the gather yields (A, R) with rays on lanes (same
+# trick as the packed texel pools). Rows GP_N.. carry the winner's raw
+# intersection columns (unnormalized N, edge planes g1/g2, plane
+# constants c1/c2) so h1/h2/ndotd are RECOMPUTED per ray with exactly
+# the kernels' expressions (same floats, same op order — bit-identical,
+# tested).
 GP_INVD = 0
 GP_UN = 1  # 1-3 unit normal
 GP_UV = 4  # 4-9 uv corners (u0,v0,u1,v1,u2,v2)
 GP_MAT = 10
 GP_VN = 11  # 11-19 per-corner vertex normals
 GP_TAN = 20  # 20-22 tangent, 23-25 bitangent
-GPACK_ROWS = 26
-# spack columns feeding each gpack row (invd, un, uv, mat, vn, tan+bi)
+GP_N = 26  # 26-28 unnormalized geometric normal (ndotd recompute)
+GP_G1 = 29  # 29-31 edge plane g1 (h1 recompute)
+GP_G2 = 32  # 32-34 edge plane g2 (h2 recompute)
+GP_C1 = 35  # plane constants c1/c2 (per-ray-origin h recompute)
+GP_C2 = 36
+GPACK_ROWS = 37
+# spack columns feeding each gpack row (invd, un, uv, mat, vn, tan+bi,
+# n, g1, g2, c1, c2); SC_DC holds [d, c0, c1, c2]
 GPACK_SRC_COLS = ([12, 13, 14, 15] + list(range(16, 22)) + [22]
-                  + list(range(30, 39)) + list(range(24, 30)))
+                  + list(range(30, 39)) + list(range(24, 30))
+                  + [0, 1, 2] + [6, 7, 8] + [9, 10, 11]
+                  + [SC_DC + 2, SC_DC + 3])
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -428,14 +441,17 @@ class Scene:
             bvh_pack = linearize_bvh(bvh)
             bvh_nodes = 2 * n_real_clusters - 1
 
+            # gpack is ALWAYS host-precomputed (every closest-hit path
+            # resolves the winner's attributes from it post-sweep);
+            # the full streaming record ships only past streaming scale
+            full_pack = _stream_pack_np(padded, n, d, g, c, inv_denom,
+                                        uv3, vn3, face_mat, orig_ids,
+                                        tangent, bitangent)
+            gpack_np = _gpack_np(full_pack)
             if num_faces > STREAM_FACES:
-                spack_np = _stream_pack_np(padded, n, d, g, c, inv_denom,
-                                           uv3, vn3, face_mat, orig_ids,
-                                           tangent, bitangent)
-                gpack_np = _gpack_np(spack_np)
+                spack_np = full_pack
             else:
                 spack_np = np.zeros((0, STREAM_COLS), np.float32)
-                gpack_np = np.zeros((GPACK_ROWS, 0), np.float32)
         else:
             p0 = np.zeros((0, 3), np.float32)
             n = np.zeros((0, 3), np.float32)

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import CameraUniforms
 from ..core.scene import (CULL_BLOCK,
-                          GP_INVD, GP_MAT, GP_TAN, GP_UN, GP_UV, GP_VN,
+                          GP_C1, GP_C2, GP_G1, GP_G2, GP_INVD, GP_MAT,
+                          GP_N, GP_TAN, GP_UN, GP_UV, GP_VN,
                           GPACK_ROWS, GPACK_SRC_COLS, SC_DC, SC_OT,
                           STREAM_COLS, STREAM_FACES, SUPER_F, SceneData)
 from .composite import to_nonlinear_depth
@@ -213,9 +214,11 @@ def gpack_from_stream(spack: jnp.ndarray) -> jnp.ndarray:
     table from a full streaming record (device-refit scenes whose host
     gpack is stale)."""
     f = spack.shape[0]
+    cols = jnp.asarray(GPACK_SRC_COLS, jnp.int32)
+    if f <= SUPER_F:  # small (refit/instanced) scenes: one shot
+        return jnp.take(spack, cols, axis=1).T
     ns = f // SUPER_F
     out = jnp.zeros((GPACK_ROWS, f), jnp.float32)
-    cols = jnp.asarray(GPACK_SRC_COLS, jnp.int32)
 
     def body(s, acc):
         chunk = jax.lax.dynamic_slice_in_dim(spack, s * SUPER_F,
@@ -236,15 +239,24 @@ def _gpack_stream(scene: SceneData) -> jnp.ndarray:
     return gpack_from_stream(_stream_pack(scene))
 
 
-def expand_slim_gbuffer(scene: SceneData, t, face, h1, h2, nd,
-                        with_nm: bool) -> "GBuffer":
-    """Resolve the fat G-buffer from the slim sweep outputs: ONE planar
-    gather of the winner faces' attributes (gpack — gathers cost per
-    index, payload-insensitive) followed by exactly the interpolation
-    expressions of _ch_block, applied to the winner's gathered values —
-    bit-identical results (same products of the same floats in the
-    same order). Miss rays (t == inf) zero every attribute, matching
-    the kernels' zero-initialized outputs."""
+def expand_tf_gbuffer(scene: SceneData, t, face, dx, dy, dz,
+                      origin=None, oxyz=None, oterm=None,
+                      with_nm: bool = False) -> "GBuffer":
+    """Resolve the fat G-buffer from a (t, face)-only sweep: ONE planar
+    gather of the winner faces' columns (gpack — gathers cost per
+    index, payload-insensitive), then h1/h2/ndotd and the shading
+    attributes are RECOMPUTED with exactly the kernels' expressions
+    applied to the winner's gathered values — the same products of the
+    same floats in the same order, so results are bit-identical to the
+    in-kernel fat merge (tested, incl. the on-TPU gate).
+
+    Shared-origin rays pass `origin` (+ optionally the frame's `oterm`
+    so the h-plane origin terms are the EXACT floats the kernel read;
+    recomputed via pack_origin_cols when omitted — XLA CSEs the dup);
+    per-ray-origin rays (bounces) pass oxyz=(ox, oy, oz) and the origin
+    terms are recomputed per ray exactly as _chp_block_slim does. Miss
+    rays (t == inf) zero every attribute, matching the kernels'
+    zero-initialized outputs."""
     gp = _gpack_stream(scene)
     idx = jnp.clip(face, 0, gp.shape[1] - 1)
     a = jnp.take(gp, idx, axis=1)  # (GPACK_ROWS, R), rays on lanes
@@ -252,6 +264,26 @@ def expand_slim_gbuffer(scene: SceneData, t, face, h1, h2, nd,
 
     def m(x):
         return jnp.where(hit, x, 0.0)
+
+    ts = jnp.where(hit, t, 0.0)  # inf * 0 = NaN; masked anyway, but
+    # keep the recompute lanes finite so debug NaN checks stay quiet
+    nd = (a[GP_N] * dx + a[GP_N + 1] * dy + a[GP_N + 2] * dz)
+    g1d = a[GP_G1] * dx + a[GP_G1 + 1] * dy + a[GP_G1 + 2] * dz
+    g2d = a[GP_G2] * dx + a[GP_G2 + 1] * dy + a[GP_G2 + 2] * dz
+    if oxyz is not None:  # per-ray origins: _chp_block_slim's hplane
+        ox, oy, oz = oxyz
+        o1 = (a[GP_G1] * ox + a[GP_G1 + 1] * oy + a[GP_G1 + 2] * oz
+              - a[GP_C1])
+        o2 = (a[GP_G2] * ox + a[GP_G2 + 1] * oy + a[GP_G2 + 2] * oz
+              - a[GP_C2])
+    else:  # shared origin: gather the frame's exact origin-term floats
+        if oterm is None:
+            oterm = pack_origin_cols(scene, origin)
+        og = jnp.take(jnp.stack([oterm[:, 2], oterm[:, 3]]), idx,
+                      axis=1)
+        o1, o2 = og[0], og[1]
+    h1 = o1 + ts * g1d
+    h2 = o2 + ts * g2d
 
     u_n = h1 * a[GP_INVD]
     v_n = h2 * a[GP_INVD]
@@ -269,7 +301,7 @@ def expand_slim_gbuffer(scene: SceneData, t, face, h1, h2, nd,
             nm[tk] = m(a[GP_TAN + ax])
             nm[bk] = m(a[GP_TAN + 3 + ax])
 
-    return GBuffer(t=t, face=face, u=m(u_n), v=m(v_n), nd=nd,
+    return GBuffer(t=t, face=face, u=m(u_n), v=m(v_n), nd=m(nd),
                    uvx=m(uvx), uvy=m(uvy),
                    nx=m(a[GP_UN]), ny=m(a[GP_UN + 1]),
                    nz=m(a[GP_UN + 2]), mat=m(a[GP_MAT]), **nm)
@@ -306,27 +338,22 @@ def _ordered_cluster_loop(tlb_ref, order_ref, nb, visit, bound_fn):
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-def _make_closest_hit_kernel(with_nm: bool, block_f: int, n_blocks: int):
+def _make_closest_hit_kernel(block_f: int, n_blocks: int):
     """Kernel factory (grid = ray tiles ONLY; the face-cluster loop runs
     INSIDE the kernel over the fully-VMEM-resident face pack — grid-step
     overhead is ~0.75us/step on v5e, and looping in-kernel removes the
     (tiles x clusters - tiles) extra steps), clusters visited
     front-to-back with exact early termination (_ordered_cluster_loop).
-    with_nm=True adds 9 outputs (interpolated vertex normal + per-face
-    tangent/bitangent)."""
+    (t, face)-only merge: shading attributes (and the nm extras)
+    resolve post-sweep in expand_tf_gbuffer — dropping the 9-18
+    attribute picks per block visit (each a masked cross-sublane
+    reduction + merge) cuts the dense-view sweep the same way the slim
+    merge cut the streamed one."""
 
     def kernel(tlb_ref, order_ref, dx_ref, dy_ref, dz_ref, texit_ref,
-               fpack_ref, oterm_ref, *outs):
-        (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
-         nx_ref, ny_ref, nz_ref, mat_ref) = outs[:11]
-        nm_refs = outs[11:] if with_nm else ()
-
+               fpack_ref, oterm_ref, t_ref, face_ref):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
-        for r in (face_ref,):
-            r[:] = jnp.zeros_like(r)
-        for r in (u_ref, v_ref, nd_ref, uvx_ref, uvy_ref, nx_ref, ny_ref,
-                  nz_ref, mat_ref) + tuple(nm_refs):
-            r[:] = jnp.zeros_like(r)
+        face_ref[:] = jnp.zeros_like(face_ref)
 
         dx = _row1(dx_ref)  # (1, TILE_R)
         dy = _row1(dy_ref)
@@ -336,10 +363,8 @@ def _make_closest_hit_kernel(with_nm: bool, block_f: int, n_blocks: int):
             base = pl.multiple_of(jj * block_f, block_f)
             g = fpack_ref[pl.ds(base, block_f), :]
             o = oterm_ref[pl.ds(base, block_f), :]
-            _ch_block(g, o, dx, dy, dz, jj * block_f,
-                      t_ref, face_ref, u_ref, v_ref, nd_ref,
-                      uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref,
-                      mat_ref, nm_refs)
+            _ch_block_slim(g, o, dx, dy, dz, jj * block_f,
+                           t_ref, face_ref, gc0=0, oc0=0)
 
         def bound():
             return jnp.max(jnp.minimum(t_ref[:], texit_ref[:]))
@@ -449,14 +474,9 @@ def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int):
 
     def kernel(tlb_ref, order_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref, texit_ref, fpack_ref, dc_ref,
-               t_ref, face_ref, u_ref, v_ref, nd_ref,
-               uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref):
+               t_ref, face_ref):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
-        for r in (face_ref,):
-            r[:] = jnp.zeros_like(r)
-        for r in (u_ref, v_ref, nd_ref, uvx_ref, uvy_ref, nx_ref, ny_ref,
-                  nz_ref, mat_ref):
-            r[:] = jnp.zeros_like(r)
+        face_ref[:] = jnp.zeros_like(face_ref)
 
         dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
@@ -465,9 +485,8 @@ def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int):
             base = pl.multiple_of(jj * block_f, block_f)
             g = fpack_ref[pl.ds(base, block_f), :]
             dc = dc_ref[pl.ds(base, block_f), :]
-            _chp_block(g, dc, dx, dy, dz, ox, oy, oz, jj * block_f,
-                       t_ref, face_ref, u_ref, v_ref, nd_ref,
-                       uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref)
+            _chp_block_slim(g, dx, dy, dz, ox, oy, oz, jj * block_f,
+                            t_ref, face_ref, gc0=0, dcc0=0, dcref=dc)
 
         def bound():
             return jnp.max(jnp.minimum(t_ref[:], texit_ref[:]))
@@ -475,83 +494,6 @@ def _make_closest_hit_perray_kernel(block_f: int, n_blocks: int):
         _ordered_cluster_loop(tlb_ref, order_ref, n_blocks, visit, bound)
 
     return kernel
-
-
-def _chp_block(g, dc, dx, dy, dz, ox, oy, oz, face_base,
-               t_ref, face_ref, u_ref, v_ref, nd_ref,
-               uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref):
-    """Per-ray-origin closest-hit block merge (bounce rays): values
-    g (BF, FPACK_COLS) / dc (BF, 8); hits closer than the
-    self-intersection epsilon 1e-3 are rejected."""
-
-    def col(m, k):
-        return m[:, k:k + 1]
-
-    ndotd = col(g, 0) * dx + col(g, 1) * dy + col(g, 2) * dz
-    ndoto = col(g, 0) * ox + col(g, 1) * oy + col(g, 2) * oz
-    t = -(ndoto + col(dc, 0)) / ndotd
-
-    def hplane(k, c):
-        og = (col(g, k) * ox + col(g, k + 1) * oy
-              + col(g, k + 2) * oz - col(dc, c))
-        dg = (col(g, k) * dx + col(g, k + 1) * dy
-              + col(g, k + 2) * dz)
-        return og + t * dg
-
-    h0 = hplane(3, 1)
-    h1 = hplane(6, 2)
-    h2 = hplane(9, 3)
-
-    valid = (
-        (jnp.abs(ndotd) >= K_EPSILON)
-        & (t >= 1e-3)
-        & (h0 >= 0.0)
-        & (h1 >= 0.0)
-        & (h2 >= 0.0)
-    )
-    tm = jnp.where(valid, t, F32_INF)
-
-    tmin = jnp.min(tm, axis=0, keepdims=True)
-    face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-    idx_blk = jnp.min(
-        jnp.where(tm == tmin, face_ids, INT_MISS), axis=0,
-        keepdims=True)
-    win = face_ids == idx_blk
-
-    def pick(m):
-        return jnp.sum(jnp.where(win, m, 0.0), axis=0,
-                       keepdims=True)
-
-    invd = col(g, _C_INVD)
-    u_n = h1 * invd
-    v_n = h2 * invd
-    w_n = 1.0 - u_n - v_n
-    uvx_m = (u_n * col(g, _C_UV) + v_n * col(g, _C_UV + 2)
-             + w_n * col(g, _C_UV + 4))
-    uvy_m = (u_n * col(g, _C_UV + 1) + v_n * col(g, _C_UV + 3)
-             + w_n * col(g, _C_UV + 5))
-
-    # lexicographic (t, face id) merge — order-independent, see _ch_block
-    prev_t = _row1(t_ref)
-    new_face = idx_blk + face_base
-    better = ((tmin < prev_t)
-              | ((tmin == prev_t)
-                 & (new_face < _row1(face_ref)))).reshape(-1)
-
-    def merge(ref, new):
-        ref[:] = jnp.where(better, new.reshape(-1), ref[:])
-
-    merge(t_ref, tmin)
-    merge(face_ref, new_face)
-    merge(u_ref, pick(u_n))
-    merge(v_ref, pick(v_n))
-    merge(nd_ref, pick(ndotd))
-    merge(uvx_ref, pick(uvx_m))
-    merge(uvy_ref, pick(uvy_m))
-    merge(nx_ref, pick(jnp.broadcast_to(col(g, _C_UN), tm.shape)))
-    merge(ny_ref, pick(jnp.broadcast_to(col(g, _C_UN + 1), tm.shape)))
-    merge(nz_ref, pick(jnp.broadcast_to(col(g, _C_UN + 2), tm.shape)))
-    merge(mat_ref, pick(jnp.broadcast_to(col(g, _C_MAT), tm.shape)))
 
 
 def _make_anyhit_kernel(block_f: int, n_blocks: int):
@@ -640,14 +582,11 @@ def _make_fused_extend_shadow_kernel(block_f: int, n_blocks: int,
 
     def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
                sdx_ref, sdy_ref, sdz_ref, sox_ref, soy_ref, soz_ref,
-               act_ref, fpack_ref, dc_ref, *outs):
-        (t_ref, face_ref, u_ref, v_ref, nd_ref, uvx_ref, uvy_ref,
-         nx_ref, ny_ref, nz_ref, mat_ref, occ_ref) = outs
-
+               act_ref, fpack_ref, dc_ref, t_ref, face_ref, occ_ref):
         i = pl.program_id(0)
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
-        for r_ in outs[1:]:
-            r_[:] = jnp.zeros_like(r_)
+        face_ref[:] = jnp.zeros_like(face_ref)
+        occ_ref[:] = jnp.zeros_like(occ_ref)
 
         dx, dy, dz = _row1(dx_ref), _row1(dy_ref), _row1(dz_ref)
         ox, oy, oz = _row1(ox_ref), _row1(oy_ref), _row1(oz_ref)
@@ -659,9 +598,8 @@ def _make_fused_extend_shadow_kernel(block_f: int, n_blocks: int,
             base = pl.multiple_of(jj * block_f, block_f)
             g = fpack_ref[pl.ds(base, block_f), :]
             dc = dc_ref[pl.ds(base, block_f), :]
-            _chp_block(g, dc, dx, dy, dz, ox, oy, oz, jj * block_f,
-                       t_ref, face_ref, u_ref, v_ref, nd_ref,
-                       uvx_ref, uvy_ref, nx_ref, ny_ref, nz_ref, mat_ref)
+            _chp_block_slim(g, dx, dy, dz, ox, oy, oz, jj * block_f,
+                            t_ref, face_ref, gc0=0, dcc0=0, dcref=dc)
             _ah_block(g, dc, sdx, sdy, sdz, sox, soy, soz, act_ref,
                       occ_ref)
 
@@ -752,9 +690,10 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
     grid = (r // tile_r,)
     ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
                             memory_space=pltpu.VMEM)
-    out_specs = [ray_spec] * 12
-    out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(12)]
-    out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
+    out_specs = [ray_spec] * 3
+    out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32),
+                 jax.ShapeDtypeStruct((r,), jnp.int32),
+                 jax.ShapeDtypeStruct((r,), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -774,10 +713,9 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
         interpret=interpret,
     )(mask, *planes, act, fpack, dc)
 
-    t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat, occ = [
-        o[:nrays] for o in outs]
-    gb = GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
-                 nx=nx, ny=ny, nz=nz, mat=mat)
+    t, face, occ = [o[:nrays] for o in outs]
+    gb = expand_tf_gbuffer(scene, t, face, dx, dy, dz,
+                           oxyz=(ox, oy, oz))
     return gb, occ > 0.0
 
 
@@ -932,9 +870,10 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
     vs slim 253 ms). Re-assembling face-ascending blocks cost ~8
     lane-shift copies per visited word; reading the banked record in
     place (static per-bank lane offsets) was 2.4x worse again. What
-    DID survive from the experiment is the slim MERGE: track only
-    (t, face, h1, h2, nd) during the sweep and gather the winner's
-    shading attributes afterwards (expand_slim_gbuffer)."""
+    DID survive from the experiment is the slim MERGE: track only the
+    (t, face) winner during the sweep and gather + recompute the
+    winner's plane values and shading attributes afterwards
+    (expand_tf_gbuffer)."""
     bits = sup_f // block_f
 
     def word_id(j):
@@ -1079,17 +1018,20 @@ class _Row2View:
         return self._ref[0, 0, j]
 
 
-def _ch_block_slim(g, o, dx, dy, dz, face_base,
-                   t_ref, face_ref, h1_ref, h2_ref, nd_ref,
+def _ch_block_slim(g, o, dx, dy, dz, face_base, t_ref, face_ref,
                    gc0=0, oc0=0):
-    """Shared-origin closest-hit block merge over the SLIM 16-col
-    record (g: n 0-2, edge planes 3-11; o: per-face origin terms from
-    the per-frame banked record; gc0/oc0: static bank column offsets,
-    see _ah_block). Tracks only the lexicographic
-    (t, face) winner's raw h1/h2/ndotd — shading attributes resolve
-    after the sweep (expand_slim_gbuffer) with bit-identical values
-    to the fat _ch_block (the winner's u = h1*invd is the same
-    product of the same two floats)."""
+    """Shared-origin closest-hit block merge, (t, face)-ONLY state
+    (g: n 0-2, edge planes 3-11; o: per-face origin terms from the
+    per-frame banked record; gc0/oc0: static bank column offsets, see
+    _ah_block). The sweep tracks nothing but the lexicographic
+    (t, face) winner — h1/h2/ndotd and every shading attribute resolve
+    after the sweep (expand_tf_gbuffer) by recomputing the kernel's own
+    expressions on the winner's gathered columns, bit-identical (same
+    floats, same op order; tested). Dropping the in-sweep h1/h2/nd
+    picks removes 3 masked cross-sublane reductions + 3 merges per
+    block visit — the streamed frames are visit-compute-bound, so this
+    is a direct hot-loop cut (measured on the fat merge: each pick is
+    ~2 vector ops per attribute per visit)."""
 
     def col(m, k, m0=0):
         return m[:, m0 + k:m0 + k + 1]
@@ -1110,27 +1052,28 @@ def _ch_block_slim(g, o, dx, dy, dz, face_base,
         & (h1 >= 0.0)
         & (h2 >= 0.0)
     )
-    _merge_slim(t, valid, h1, h2, ndotd, face_base,
-                t_ref, face_ref, h1_ref, h2_ref, nd_ref)
+    _merge_tf(t, valid, face_base, t_ref, face_ref)
 
 
 def _chp_block_slim(g, dx, dy, dz, ox, oy, oz, face_base,
-                    t_ref, face_ref, h1_ref, h2_ref, nd_ref,
-                    gc0=0, dcc0=SC_DC):
-    """Per-ray-origin closest-hit block merge over the streamed record
-    slab (g planes at cols gc0.., d + c at cols dcc0..) — same math
-    and epsilons as the fat _chp_block, slim-merge outputs."""
+                    t_ref, face_ref, gc0=0, dcc0=SC_DC, dcref=None):
+    """Per-ray-origin closest-hit block merge, (t, face)-only state
+    (g planes at cols gc0.., d + c at cols dcc0.. of dcref — defaults
+    to g itself, the streamed record's layout; the VMEM kernel passes
+    its separate (BF, 8) dc bank) — same math and epsilons as the fat
+    _chp_block."""
+    dc = g if dcref is None else dcref
 
     def col(m, k, m0=0):
         return m[:, m0 + k:m0 + k + 1]
 
     ndotd = col(g, 0, gc0) * dx + col(g, 1, gc0) * dy + col(g, 2, gc0) * dz
     ndoto = col(g, 0, gc0) * ox + col(g, 1, gc0) * oy + col(g, 2, gc0) * oz
-    t = -(ndoto + col(g, 0, dcc0)) / ndotd
+    t = -(ndoto + col(dc, 0, dcc0)) / ndotd
 
     def hplane(k, c):
         og = (col(g, k, gc0) * ox + col(g, k + 1, gc0) * oy
-              + col(g, k + 2, gc0) * oz - col(g, c, dcc0))
+              + col(g, k + 2, gc0) * oz - col(dc, c, dcc0))
         dg = (col(g, k, gc0) * dx + col(g, k + 1, gc0) * dy
               + col(g, k + 2, gc0) * dz)
         return og + t * dg
@@ -1145,24 +1088,19 @@ def _chp_block_slim(g, dx, dy, dz, ox, oy, oz, face_base,
         & (h1 >= 0.0)
         & (h2 >= 0.0)
     )
-    _merge_slim(t, valid, h1, h2, ndotd, face_base,
-                t_ref, face_ref, h1_ref, h2_ref, nd_ref)
+    _merge_tf(t, valid, face_base, t_ref, face_ref)
 
 
-def _merge_slim(t, valid, h1, h2, ndotd, face_base,
-                t_ref, face_ref, h1_ref, h2_ref, nd_ref):
+def _merge_tf(t, valid, face_base, t_ref, face_ref):
     """Lexicographic (t, face id) merge of a block's winner into the
-    slim output planes — the same merge rule as _ch_block (see its
-    comments for the order-independence and no-hit-block arguments)."""
+    (t, face) output planes — the same merge rule as _ch_block (see
+    its comments for the order-independence and no-hit-block
+    arguments), with no attribute picks at all."""
     tm = jnp.where(valid, t, F32_INF)
     tmin = jnp.min(tm, axis=0, keepdims=True)
     face_ids = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
     idx_blk = jnp.min(
         jnp.where(tm == tmin, face_ids, INT_MISS), axis=0, keepdims=True)
-    win = face_ids == idx_blk
-
-    def pick(m):
-        return jnp.sum(jnp.where(win, m, 0.0), axis=0, keepdims=True)
 
     prev_t = _row1(t_ref)
     new_face = idx_blk + face_base
@@ -1170,14 +1108,8 @@ def _merge_slim(t, valid, h1, h2, ndotd, face_base,
               | ((tmin == prev_t)
                  & (new_face < _row1(face_ref)))).reshape(-1)
 
-    def merge(ref, new):
-        ref[:] = jnp.where(better, new.reshape(-1), ref[:])
-
-    merge(t_ref, tmin)
-    merge(face_ref, new_face)
-    merge(h1_ref, pick(h1))
-    merge(h2_ref, pick(h2))
-    merge(nd_ref, pick(ndotd))
+    t_ref[:] = jnp.where(better, tmin.reshape(-1), t_ref[:])
+    face_ref[:] = jnp.where(better, new_face.reshape(-1), face_ref[:])
 
 
 def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
@@ -1187,12 +1119,13 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
     The (F, 128) record (spack with the frame's origin terms spliced
     at SC_OT) streams from HBM exactly as round 2's kernel; what
     changed is the in-sweep state: only the lexicographic (t, face)
-    winner's raw (h1, h2, ndotd) is tracked — 5 output planes instead
-    of 11-20, which removes ~2 vector ops per shading attribute per
-    block visit from the hot loop (the streamed frames are bound by
-    visit compute, not DMA — see _stream_word_loop). Shading
-    attributes resolve after the sweep by one planar gather
-    (expand_slim_gbuffer), bit-identical to the fat merge. nsub ray
+    winner is tracked — 2 output planes instead of 11-20, which
+    removes every attribute pick (~2 vector ops each) AND the h1/h2/nd
+    picks (3 masked cross-sublane reductions) per block visit from the
+    hot loop (the streamed frames are bound by visit compute, not DMA
+    — see _stream_word_loop). Everything else resolves after the sweep
+    by one planar gather + recompute (expand_tf_gbuffer),
+    bit-identical to the fat merge. nsub ray
     subtiles share each fetch; words are visited FRONT-TO-BACK
     (order_ref, ascending batch-min entry t) with exact early
     termination: a word whose entry lower bound (tlb_ref) exceeds
@@ -1202,11 +1135,10 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                texit_ref, pack_hbm,
-               t_ref, face_ref, h1_ref, h2_ref, nd_ref,
+               t_ref, face_ref,
                buf0, buf1, sem0, sem1):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
-        for r_ in (face_ref, h1_ref, h2_ref, nd_ref):
-            r_[:] = jnp.zeros_like(r_)
+        face_ref[:] = jnp.zeros_like(face_ref)
 
         subs = []
         for sub in range(nsub):
@@ -1215,8 +1147,7 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
             dy = dy_ref[s0:s0 + tile_r].reshape(1, tile_r)
             dz = dz_ref[s0:s0 + tile_r].reshape(1, tile_r)
             views = tuple(_SubView(o, s0, tile_r)
-                          for o in (t_ref, face_ref, h1_ref, h2_ref,
-                                    nd_ref))
+                          for o in (t_ref, face_ref))
             subs.append((dx, dy, dz, views))
 
         def visit_bit(sbufs, s, b_, sub):
@@ -1250,17 +1181,16 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
 def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
                                     tile_r: int, nsub: int):
     """Per-ray-origin closest-hit (bounce rays): fat streamed record +
-    slim merge — origin terms computed in-kernel from d/c (cols
-    SC_DC..), exactly the fat _chp_block math; same schedule contract
-    as the shared-origin kernel."""
+    (t, face)-only merge — origin terms computed in-kernel from d/c
+    (cols SC_DC.., see _chp_block_slim); same schedule contract as the
+    shared-origin kernel."""
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref, texit_ref, pack_hbm,
-               t_ref, face_ref, h1_ref, h2_ref, nd_ref,
+               t_ref, face_ref,
                buf0, buf1, sem0, sem1):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
-        for r_ in (face_ref, h1_ref, h2_ref, nd_ref):
-            r_[:] = jnp.zeros_like(r_)
+        face_ref[:] = jnp.zeros_like(face_ref)
 
         subs = []
         for sub in range(nsub):
@@ -1269,8 +1199,7 @@ def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
                          for r_ in (dx_ref, dy_ref, dz_ref,
                                     ox_ref, oy_ref, oz_ref))
             views = tuple(_SubView(o, s0, tile_r)
-                          for o in (t_ref, face_ref, h1_ref, h2_ref,
-                                    nd_ref))
+                          for o in (t_ref, face_ref))
             subs.append((rows, views))
 
         def visit_bit(sbufs, s, b_, sub):
@@ -1594,11 +1523,9 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     mask, nwords = _mask_words(scene, accel, origin[0], origin[1], origin[2],
                                dx, dy, dz, tile_r, block_f, f, interpret)
 
-    n_out = 20 if with_nm else 11
     grid = (r // tile_r,)  # face-cluster loop runs inside the kernel
-    out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
-                 for _ in range(n_out)]
-    out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
+    tf_shape = [jax.ShapeDtypeStruct((r,), jnp.float32),
+                jax.ShapeDtypeStruct((r,), jnp.int32)]
 
     if stream:
         n_super = f // SUPER_F
@@ -1615,10 +1542,7 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                                 memory_space=pltpu.SMEM)
         order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
                                   memory_space=pltpu.SMEM)
-        slim_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
-                      for _ in range(5)]
-        slim_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
-        slim = pl.pallas_call(
+        outs = pl.pallas_call(
             _make_streaming_ch_slim_kernel(SUPER_F, n_super,
                                            tile_r, nsub),
             grid=grid,
@@ -1627,14 +1551,11 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                 ray_spec_s, ray_spec_s, ray_spec_s, ray_spec_s,
                 pl.BlockSpec(memory_space=pl.ANY),  # face pack stays HBM
             ],
-            out_specs=[ray_spec_s] * 5,
-            out_shape=slim_shape,
+            out_specs=[ray_spec_s] * 2,
+            out_shape=tf_shape,
             scratch_shapes=_stream_scratch(),
             interpret=interpret,
         )(mask3, order2[:, None, :], tlb3, dx, dy, dz, texit, spack)
-        t_s, face_s, h1_s, h2_s, nd_s = [o[:nrays] for o in slim]
-        return expand_slim_gbuffer(scene, t_s, face_s, h1_s, h2_s,
-                                   nd_s, with_nm)
     else:
         nb = f // block_f
         tlb, order, texit = _vmem_sched(scene, mask, nwords,
@@ -1645,7 +1566,7 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
         ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
                                 memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
-            _make_closest_hit_kernel(with_nm, block_f, nb),
+            _make_closest_hit_kernel(block_f, nb),
             grid=grid,
             in_specs=[
                 sched_spec, sched_spec,
@@ -1655,19 +1576,19 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                 pl.BlockSpec((f, 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[ray_spec] * n_out,
-            out_shape=out_shape,
+            out_specs=[ray_spec] * 2,
+            out_shape=tf_shape,
             interpret=interpret,
         )(tlb, order, dx, dy, dz, texit, fpack, oterm)
 
-    outs = [o[:nrays] for o in outs]
-    t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = outs[:11]
-    nm = dict()
-    if with_nm:
-        (nm["vnx"], nm["vny"], nm["vnz"], nm["tx"], nm["ty"], nm["tz"],
-         nm["bx"], nm["by"], nm["bz"]) = outs[11:]
-    return GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
-                   nx=nx, ny=ny, nz=nz, mat=mat, **nm)
+    t_s, face_s = [o[:nrays] for o in outs]
+    # oterm holds the exact floats the kernel read (the streamed record
+    # splices these same columns at SC_OT), so expand's h-planes use
+    # identical origin terms in both branches
+    return expand_tf_gbuffer(scene, t_s, face_s,
+                             dx[:nrays], dy[:nrays], dz[:nrays],
+                             origin=origin, oterm=oterm,
+                             with_nm=with_nm)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
@@ -1707,8 +1628,8 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
                                interpret, act=live)
 
     grid = (r // tile_r,)
-    out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32) for _ in range(11)]
-    out_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
+    tf_shape = [jax.ShapeDtypeStruct((r,), jnp.float32),
+                jax.ShapeDtypeStruct((r,), jnp.int32)]
 
     if stream:
         n_super = f // SUPER_F
@@ -1736,10 +1657,7 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
                                 memory_space=pltpu.SMEM)
         order_spec = pl.BlockSpec((1, 1, n_super), lambda i: (i, 0, 0),
                                   memory_space=pltpu.SMEM)
-        slim_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
-                      for _ in range(5)]
-        slim_shape[1] = jax.ShapeDtypeStruct((r,), jnp.int32)
-        slim = pl.pallas_call(
+        outs = pl.pallas_call(
             _make_streaming_chp_slim_kernel(SUPER_F, n_super,
                                             tile_r, nsub),
             grid=grid,
@@ -1747,14 +1665,11 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
             + [ray_spec_s] * 7 + [
                 pl.BlockSpec(memory_space=pl.ANY),  # face pack stays HBM
             ],
-            out_specs=[ray_spec_s] * 5,
-            out_shape=slim_shape,
+            out_specs=[ray_spec_s] * 2,
+            out_shape=tf_shape,
             scratch_shapes=_stream_scratch(),
             interpret=interpret,
         )(mask3, order2[:, None, :], tlb3, *planes, texit, spack)
-        t_s, face_s, h1_s, h2_s, nd_s = [o[:nrays] for o in slim]
-        return expand_slim_gbuffer(scene, t_s, face_s, h1_s, h2_s,
-                                   nd_s, False)
     else:
         fpack = pack_face_columns(scene)
         dc = jnp.concatenate(
@@ -1777,14 +1692,14 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
                 pl.BlockSpec((f, 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[ray_spec] * 11,
-            out_shape=out_shape,
+            out_specs=[ray_spec] * 2,
+            out_shape=tf_shape,
             interpret=interpret,
         )(tlb, order, *planes, texit, fpack, dc)
 
-    t, face, u, v, nd, uvx, uvy, nx, ny, nz, mat = [o[:nrays] for o in outs]
-    return GBuffer(t=t, face=face, u=u, v=v, nd=nd, uvx=uvx, uvy=uvy,
-                   nx=nx, ny=ny, nz=nz, mat=mat)
+    t_s, face_s = [o[:nrays] for o in outs]
+    return expand_tf_gbuffer(scene, t_s, face_s, dx, dy, dz,
+                             oxyz=(ox, oy, oz))
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
