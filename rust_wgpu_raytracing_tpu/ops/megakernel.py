@@ -338,7 +338,9 @@ def _ordered_cluster_loop(tlb_ref, order_ref, nb, visit, bound_fn):
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-def _make_closest_hit_kernel(block_f: int, n_blocks: int):
+def _make_closest_hit_kernel(block_f: int, n_blocks: int,
+                             n_spheres: int = 0,
+                             near: float = 0.01, far: float = 100.0):
     """Kernel factory (grid = ray tiles ONLY; the face-cluster loop runs
     INSIDE the kernel over the fully-VMEM-resident face pack — grid-step
     overhead is ~0.75us/step on v5e, and looping in-kernel removes the
@@ -348,10 +350,29 @@ def _make_closest_hit_kernel(block_f: int, n_blocks: int):
     resolve post-sweep in expand_tf_gbuffer — dropping the 9-18
     attribute picks per block visit (each a masked cross-sublane
     reduction + merge) cuts the dense-view sweep the same way the slim
-    merge cut the streamed one."""
+    merge cut the streamed one.
+
+    n_spheres > 0 FUSES the frame's sphere passes into the same sweep
+    (VERDICT r2 #3): sph_ref carries [ox, oy, oz] + 4 floats per
+    sphere in SMEM and the kernel emits the winning sphere's
+    (t, id, unit normal) — ~28 row ops per sphere per tile, replacing
+    one full-screen XLA pass per sphere (~1 ms each at 1080p; the
+    separate passes re-read the ray planes from HBM and materialize 5
+    planes each). The winner is selected by NONLINEAR depth with
+    strict <, exactly the sequential composite's rule — distinct t can
+    round to equal d in f32, so selecting by t would disagree with the
+    reference's pass order on such ties (composite.py
+    to_nonlinear_depth; math mirrors sphere_pass_planar float-for-
+    float, division/sqrt are correctly rounded on both paths)."""
 
     def kernel(tlb_ref, order_ref, dx_ref, dy_ref, dz_ref, texit_ref,
-               fpack_ref, oterm_ref, t_ref, face_ref):
+               fpack_ref, oterm_ref, *refs):
+        if n_spheres:
+            sph_ref = refs[0]
+            (t_ref, face_ref, st_ref, sid_ref,
+             snx_ref, sny_ref, snz_ref) = refs[1:]
+        else:
+            t_ref, face_ref = refs
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         face_ref[:] = jnp.zeros_like(face_ref)
 
@@ -370,6 +391,57 @@ def _make_closest_hit_kernel(block_f: int, n_blocks: int):
             return jnp.max(jnp.minimum(t_ref[:], texit_ref[:]))
 
         _ordered_cluster_loop(tlb_ref, order_ref, n_blocks, visit, bound)
+
+        if n_spheres:
+            ox, oy, oz = sph_ref[0], sph_ref[1], sph_ref[2]
+            a = dx * dx + dy * dy + dz * dz
+            inv_n, inv_f = 1.0 / near, 1.0 / far
+            shape = a.shape
+            best_d = jnp.full(shape, F32_INF)
+            best_t = jnp.full(shape, F32_INF)
+            best_id = jnp.zeros(shape)
+            best_cx = jnp.zeros(shape)
+            best_cy = jnp.zeros(shape)
+            best_cz = jnp.zeros(shape)
+            for i in range(n_spheres):
+                cx, cy, cz, radius = (sph_ref[3 + 4 * i],
+                                      sph_ref[4 + 4 * i],
+                                      sph_ref[5 + 4 * i],
+                                      sph_ref[6 + 4 * i])
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                c = (ocx * ocx + ocy * ocy + ocz * ocz) - radius * radius
+                disc = b * b - 4.0 * a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = (-b - sq) / (2.0 * a)
+                t2 = (-b + sq) / (2.0 * a)
+                t = jnp.where(t1 >= 0.0, t1,
+                              jnp.where(t2 >= 0.0, t2, F32_INF))
+                t = jnp.where(disc < 0.0, F32_INF, t)
+                hit = jnp.isfinite(t)
+                d = jnp.where(hit,
+                              ((1.0 / t) - inv_n) / (inv_f - inv_n),
+                              F32_INF)
+                upd = d < best_d
+                best_d = jnp.where(upd, d, best_d)
+                best_t = jnp.where(upd, t, best_t)
+                best_id = jnp.where(upd, jnp.float32(i), best_id)
+                best_cx = jnp.where(upd, cx, best_cx)
+                best_cy = jnp.where(upd, cy, best_cy)
+                best_cz = jnp.where(upd, cz, best_cz)
+            hit = jnp.isfinite(best_t)
+            ts = jnp.where(hit, best_t, 0.0)
+            px, py, pz = ox + dx * ts, oy + dy * ts, oz + dz * ts
+            nx = px - best_cx
+            ny = py - best_cy
+            nz = pz - best_cz
+            l = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+            l = jnp.where(l > 0, l, 1.0)
+            st_ref[:] = best_t.reshape(-1)
+            sid_ref[:] = best_id.reshape(-1)
+            snx_ref[:] = (nx / l).reshape(-1)
+            sny_ref[:] = (ny / l).reshape(-1)
+            snz_ref[:] = (nz / l).reshape(-1)
 
     return kernel
 
@@ -813,7 +885,8 @@ class _SubView:
 
 def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
                       visit_bit, nsub=1, done_fn=None,
-                      sub_done_fn=None, order_ref=None, stop_fn=None):
+                      sub_done_fn=None, order_ref=None, stop_fn=None,
+                      sub_begin_fn=None, sub_flush_fn=None):
     """HBM-streaming variant of _mask_word_loop (VERDICT r1: breaks the
     all-VMEM scene-size ceiling). The (F, STREAM_COLS) face pack stays
     in HBM; one packed mask word covers exactly one superblock of sup_f
@@ -916,6 +989,9 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
 
             @pl.when(pred)
             def _(sub=sub, word=word):
+                if sub_begin_fn is not None:
+                    sub_begin_fn(sub)
+
                 def bit_step(b_, c2):
                     @pl.when(((word >> b_) & 1) > 0)
                     def _():
@@ -923,6 +999,8 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
                     return c2
 
                 jax.lax.fori_loop(0, bits, bit_step, 0)
+                if sub_flush_fn is not None:
+                    sub_flush_fn(sub, s)
 
     def body(carry):
         j, par, _ = carry
@@ -966,13 +1044,20 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
                        (j0, jnp.int32(0), pending0))
 
 
-def _stream_scratch():
-    return [
+def _stream_scratch(acc_tile_r=None):
+    """Two double-buffer slots + DMA semaphores; with acc_tile_r, two
+    extra (CULL_BLOCK, tile_r) VMEM planes for the per-word
+    lexicographic accumulator (_acc_merge/_acc_flush)."""
+    s = [
         pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
         pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
     ]
+    if acc_tile_r is not None:
+        s += [pltpu.VMEM((CULL_BLOCK, acc_tile_r), jnp.float32),
+              pltpu.VMEM((CULL_BLOCK, acc_tile_r), jnp.float32)]
+    return s
 
 
 # ray subtiles batched per streaming grid step: one superblock fetch
@@ -1018,20 +1103,11 @@ class _Row2View:
         return self._ref[0, 0, j]
 
 
-def _ch_block_slim(g, o, dx, dy, dz, face_base, t_ref, face_ref,
-                   gc0=0, oc0=0):
-    """Shared-origin closest-hit block merge, (t, face)-ONLY state
+def _ch_block_tv(g, o, dx, dy, dz, gc0=0, oc0=0):
+    """Shared-origin block intersection: (t, valid) for one face block
     (g: n 0-2, edge planes 3-11; o: per-face origin terms from the
     per-frame banked record; gc0/oc0: static bank column offsets, see
-    _ah_block). The sweep tracks nothing but the lexicographic
-    (t, face) winner — h1/h2/ndotd and every shading attribute resolve
-    after the sweep (expand_tf_gbuffer) by recomputing the kernel's own
-    expressions on the winner's gathered columns, bit-identical (same
-    floats, same op order; tested). Dropping the in-sweep h1/h2/nd
-    picks removes 3 masked cross-sublane reductions + 3 merges per
-    block visit — the streamed frames are visit-compute-bound, so this
-    is a direct hot-loop cut (measured on the fat merge: each pick is
-    ~2 vector ops per attribute per visit)."""
+    _ah_block)."""
 
     def col(m, k, m0=0):
         return m[:, m0 + k:m0 + k + 1]
@@ -1052,16 +1128,16 @@ def _ch_block_slim(g, o, dx, dy, dz, face_base, t_ref, face_ref,
         & (h1 >= 0.0)
         & (h2 >= 0.0)
     )
-    _merge_tf(t, valid, face_base, t_ref, face_ref)
+    return t, valid
 
 
-def _chp_block_slim(g, dx, dy, dz, ox, oy, oz, face_base,
-                    t_ref, face_ref, gc0=0, dcc0=SC_DC, dcref=None):
-    """Per-ray-origin closest-hit block merge, (t, face)-only state
-    (g planes at cols gc0.., d + c at cols dcc0.. of dcref — defaults
-    to g itself, the streamed record's layout; the VMEM kernel passes
-    its separate (BF, 8) dc bank) — same math and epsilons as the fat
-    _chp_block."""
+def _chp_block_tv(g, dx, dy, dz, ox, oy, oz, gc0=0, dcc0=SC_DC,
+                  dcref=None):
+    """Per-ray-origin block intersection: (t, valid) (g planes at cols
+    gc0.., d + c at cols dcc0.. of dcref — defaults to g itself, the
+    streamed record's layout; the VMEM kernel passes its separate
+    (BF, 8) dc bank) — same math and epsilons as the shared-origin
+    form, with the 1e-3 self-intersection epsilon."""
     dc = g if dcref is None else dcref
 
     def col(m, k, m0=0):
@@ -1088,7 +1164,69 @@ def _chp_block_slim(g, dx, dy, dz, ox, oy, oz, face_base,
         & (h1 >= 0.0)
         & (h2 >= 0.0)
     )
+    return t, valid
+
+
+def _ch_block_slim(g, o, dx, dy, dz, face_base, t_ref, face_ref,
+                   gc0=0, oc0=0):
+    """Shared-origin closest-hit block merge, (t, face)-ONLY state.
+    The sweep tracks nothing but the lexicographic (t, face) winner —
+    h1/h2/ndotd and every shading attribute resolve after the sweep
+    (expand_tf_gbuffer) by recomputing the kernel's own expressions on
+    the winner's gathered columns, bit-identical (same floats, same op
+    order; tested). Dropping the in-sweep h1/h2/nd picks removes 3
+    masked cross-sublane reductions + 3 merges per block visit — the
+    streamed frames are visit-compute-bound, so this is a direct
+    hot-loop cut."""
+    t, valid = _ch_block_tv(g, o, dx, dy, dz, gc0, oc0)
     _merge_tf(t, valid, face_base, t_ref, face_ref)
+
+
+def _chp_block_slim(g, dx, dy, dz, ox, oy, oz, face_base,
+                    t_ref, face_ref, gc0=0, dcc0=SC_DC, dcref=None):
+    """Per-ray-origin closest-hit block merge, (t, face)-only state."""
+    t, valid = _chp_block_tv(g, dx, dy, dz, ox, oy, oz, gc0, dcc0,
+                             dcref)
+    _merge_tf(t, valid, face_base, t_ref, face_ref)
+
+
+def _acc_merge(t, valid, face_base, acc_t, acc_f):
+    """Elementwise lexicographic (t, face) fold of one block's
+    (BF, TILE_R) intersection into the per-word VMEM accumulator —
+    row i of the accumulator holds the running winner among the
+    visited blocks' i-th faces for each ray. No cross-sublane
+    reduction per block: the (amortized) reduction happens ONCE per
+    (subtile, word) in _acc_flush. Exact: lex-min is associative and
+    commutative, so folding rows elementwise and reducing at flush
+    yields the same global (min t, min face among min t) winner as the
+    per-block merge (tested bit-identical)."""
+    tm = jnp.where(valid, t, F32_INF)
+    nf = jnp.float32(face_base) + jax.lax.broadcasted_iota(
+        jnp.float32, (tm.shape[0], 1), 0)  # face ids exact in f32 < 2^24
+    at = acc_t[:]
+    af = acc_f[:]
+    upd = (tm < at) | ((tm == at) & (nf < af))
+    acc_t[:] = jnp.where(upd, tm, at)
+    acc_f[:] = jnp.where(upd, jnp.broadcast_to(nf, tm.shape), af)
+
+
+def _acc_flush(acc_t, acc_f, t_view, face_view):
+    """Reduce the per-word accumulator to the tile's (1, TILE_R)
+    lexicographic winner and merge it into the output rows — the same
+    merge rule as _merge_tf (inf ties keep the incumbent: untouched
+    accumulator rows carry face 0, matching the kernels'
+    zero-initialized outputs)."""
+    at = acc_t[:]
+    tmin = jnp.min(at, axis=0, keepdims=True)
+    fmin = jnp.min(jnp.where(at == tmin, acc_f[:], 3.4e38), axis=0,
+                   keepdims=True)
+    tminr = tmin.reshape(-1)
+    newf = fmin.reshape(-1).astype(jnp.int32)
+    prev_t = t_view[:]
+    better = ((tminr < prev_t)
+              | ((tminr == prev_t) & (newf < face_view[:])))
+    t_view[:] = jnp.where(better, tminr, prev_t)
+    face_view[:] = jnp.where(better, newf, face_view[:])
 
 
 def _merge_tf(t, valid, face_base, t_ref, face_ref):
@@ -1136,7 +1274,7 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                texit_ref, pack_hbm,
                t_ref, face_ref,
-               buf0, buf1, sem0, sem1):
+               buf0, buf1, sem0, sem1, acc_t, acc_f):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         face_ref[:] = jnp.zeros_like(face_ref)
 
@@ -1150,13 +1288,21 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
                           for o in (t_ref, face_ref))
             subs.append((dx, dy, dz, views))
 
+        def sub_begin(sub):
+            acc_t[:] = jnp.full_like(acc_t, F32_INF)
+            acc_f[:] = jnp.zeros_like(acc_f)
+
         def visit_bit(sbufs, s, b_, sub):
             dx, dy, dz, v = subs[sub]
             r0 = pl.multiple_of(b_ * CULL_BLOCK, CULL_BLOCK)
             blk = sbufs[0][pl.ds(r0, CULL_BLOCK), :]
-            _ch_block_slim(blk, blk, dx, dy, dz,
-                           s * sup_f + b_ * CULL_BLOCK, *v,
-                           gc0=0, oc0=SC_OT)
+            t, valid = _ch_block_tv(blk, blk, dx, dy, dz,
+                                    gc0=0, oc0=SC_OT)
+            _acc_merge(t, valid, s * sup_f + b_ * CULL_BLOCK,
+                       acc_t, acc_f)
+
+        def sub_flush(sub, s):
+            _acc_flush(acc_t, acc_f, *subs[sub][3])
 
         def sub_skip(sub, s):
             s0 = sub * tile_r
@@ -1173,7 +1319,8 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
             mask_ref, n_super, sup_f, CULL_BLOCK,
             [(pack_hbm, (buf0, buf1), (sem0, sem1), sup_f)],
             visit_bit, nsub=nsub, sub_done_fn=sub_skip,
-            order_ref=_Row2View(order_ref), stop_fn=stop_word)
+            order_ref=_Row2View(order_ref), stop_fn=stop_word,
+            sub_begin_fn=sub_begin, sub_flush_fn=sub_flush)
 
     return kernel
 
@@ -1188,7 +1335,7 @@ def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref, texit_ref, pack_hbm,
                t_ref, face_ref,
-               buf0, buf1, sem0, sem1):
+               buf0, buf1, sem0, sem1, acc_t, acc_f):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         face_ref[:] = jnp.zeros_like(face_ref)
 
@@ -1202,13 +1349,21 @@ def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
                           for o in (t_ref, face_ref))
             subs.append((rows, views))
 
+        def sub_begin(sub):
+            acc_t[:] = jnp.full_like(acc_t, F32_INF)
+            acc_f[:] = jnp.zeros_like(acc_f)
+
         def visit_bit(sbufs, s, b_, sub):
             (dx, dy, dz, ox, oy, oz), v = subs[sub]
             r0 = pl.multiple_of(b_ * CULL_BLOCK, CULL_BLOCK)
             blk = sbufs[0][pl.ds(r0, CULL_BLOCK), :]
-            _chp_block_slim(blk, dx, dy, dz, ox, oy, oz,
-                            s * sup_f + b_ * CULL_BLOCK, *v,
-                            gc0=0, dcc0=SC_DC)
+            t, valid = _chp_block_tv(blk, dx, dy, dz, ox, oy, oz,
+                                     gc0=0, dcc0=SC_DC)
+            _acc_merge(t, valid, s * sup_f + b_ * CULL_BLOCK,
+                       acc_t, acc_f)
+
+        def sub_flush(sub, s):
+            _acc_flush(acc_t, acc_f, *subs[sub][1])
 
         def sub_skip(sub, s):
             s0 = sub * tile_r
@@ -1225,7 +1380,8 @@ def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
             mask_ref, n_super, sup_f, CULL_BLOCK,
             [(pack_hbm, (buf0, buf1), (sem0, sem1), sup_f)],
             visit_bit, nsub=nsub, sub_done_fn=sub_skip,
-            order_ref=_Row2View(order_ref), stop_fn=stop_word)
+            order_ref=_Row2View(order_ref), stop_fn=stop_word,
+            sub_begin_fn=sub_begin, sub_flush_fn=sub_flush)
 
     return kernel
 
@@ -1479,17 +1635,26 @@ def _mask_words(scene: SceneData, accel: str, ox, oy, oz, dx, dy, dz,
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
                                              "interpret", "with_nm",
-                                             "accel", "stream"))
+                                             "accel", "stream",
+                                             "with_spheres", "near",
+                                             "far"))
 def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                    tile_r: int = TILE_R, block_f: Optional[int] = None,
                    interpret: bool = False, with_nm: bool = False,
                    accel: str = "cull",
-                   stream: Optional[bool] = None) -> GBuffer:
+                   stream: Optional[bool] = None,
+                   with_spheres: bool = False,
+                   near: float = 0.01, far: float = 100.0):
     """Closest-hit G-buffer for shared-origin planar rays dx/dy/dz (R,).
     with_nm additionally resolves interpolated vertex normals + tangent
     frames (normal-mapping path). accel picks the mask strategy
     (brute/cull/bvh, see _mask_words); stream=None auto-selects the
-    HBM-streaming kernel for face packs too big for VMEM."""
+    HBM-streaming kernel for face packs too big for VMEM.
+
+    with_spheres=True (VMEM path only) fuses the scene's sphere passes
+    into the sweep and returns (GBuffer, (t, id_f32, nx, ny, nz)) —
+    the winning sphere per ray, selected by nonlinear depth exactly
+    like the sequential composite (see _make_closest_hit_kernel)."""
     f = scene.tri_p0.shape[0]
     block_f = _natural_block_f(scene, f) if block_f is None \
         else min(block_f, f)
@@ -1553,10 +1718,11 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
             ],
             out_specs=[ray_spec_s] * 2,
             out_shape=tf_shape,
-            scratch_shapes=_stream_scratch(),
+            scratch_shapes=_stream_scratch(acc_tile_r=tile_r),
             interpret=interpret,
         )(mask3, order2[:, None, :], tlb3, dx, dy, dz, texit, spack)
     else:
+        n_sph = scene.num_spheres if with_spheres else 0
         nb = f // block_f
         tlb, order, texit = _vmem_sched(scene, mask, nwords,
                                         origin[0], origin[1], origin[2],
@@ -1565,8 +1731,21 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                                   memory_space=pltpu.SMEM)
         ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
                                 memory_space=pltpu.VMEM)
+        sph_in, sph_spec = (), ()
+        out_shape = list(tf_shape)
+        if n_sph:
+            sph_flat = jnp.concatenate(
+                [jnp.asarray(origin, jnp.float32).reshape(3),
+                 jnp.concatenate(
+                     [scene.sphere_center,
+                      scene.sphere_radius[:, None]], axis=1).reshape(-1)])
+            sph_in = (sph_flat,)
+            sph_spec = (pl.BlockSpec(memory_space=pltpu.SMEM),)
+            out_shape += [jax.ShapeDtypeStruct((r,), jnp.float32)
+                          for _ in range(5)]
         outs = pl.pallas_call(
-            _make_closest_hit_kernel(block_f, nb),
+            _make_closest_hit_kernel(block_f, nb, n_spheres=n_sph,
+                                     near=near, far=far),
             grid=grid,
             in_specs=[
                 sched_spec, sched_spec,
@@ -1575,20 +1754,26 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((f, 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-            ],
-            out_specs=[ray_spec] * 2,
-            out_shape=tf_shape,
+            ] + list(sph_spec),
+            out_specs=[ray_spec] * len(out_shape),
+            out_shape=out_shape,
             interpret=interpret,
-        )(tlb, order, dx, dy, dz, texit, fpack, oterm)
+        )(tlb, order, dx, dy, dz, texit, fpack, oterm, *sph_in)
+        if n_sph:
+            sph_out = tuple(o[:nrays] for o in outs[2:])
+            outs = outs[:2]
 
     t_s, face_s = [o[:nrays] for o in outs]
     # oterm holds the exact floats the kernel read (the streamed record
     # splices these same columns at SC_OT), so expand's h-planes use
     # identical origin terms in both branches
-    return expand_tf_gbuffer(scene, t_s, face_s,
-                             dx[:nrays], dy[:nrays], dz[:nrays],
-                             origin=origin, oterm=oterm,
-                             with_nm=with_nm)
+    gb = expand_tf_gbuffer(scene, t_s, face_s,
+                           dx[:nrays], dy[:nrays], dz[:nrays],
+                           origin=origin, oterm=oterm,
+                           with_nm=with_nm)
+    if with_spheres:
+        return gb, (sph_out if scene.num_spheres else None)
+    return gb
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
@@ -1667,7 +1852,7 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
             ],
             out_specs=[ray_spec_s] * 2,
             out_shape=tf_shape,
-            scratch_shapes=_stream_scratch(),
+            scratch_shapes=_stream_scratch(acc_tile_r=tile_r),
             interpret=interpret,
         )(mask3, order2[:, None, :], tlb3, *planes, texit, spack)
     else:
@@ -2294,33 +2479,87 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
                   w_lx, w_ly, w_lz, w_rel]
         covered = jnp.zeros((r,), bool)
 
+    # spheres ride the VMEM G-buffer sweep when there is one (winner-
+    # only: one shading + composite instead of a full-screen pass per
+    # sphere); streamed/meshless frames keep the per-sphere XLA passes
+    f_pad = scene.tri_p0.shape[0]
+    fuse_spheres = (has_mesh and scene.num_spheres > 0
+                    and not _should_stream(
+                        f_pad, _natural_block_f(scene, f_pad)))
+    sph_out = None
+    if has_mesh:
+        gb_res = gbuffer_pallas(scene, origin, dx, dy, dz,
+                                interpret=interpret,
+                                with_nm=normal_mapping, accel=accel,
+                                with_spheres=fuse_spheres,
+                                near=near, far=far)
+        gb, sph_out = gb_res if fuse_spheres else (gb_res, None)
+
     # --- sphere passes, in config order (src/lib.rs:1106-1148) ---
-    for i in range(scene.num_spheres):
-        t, hit, nx, ny, nz = sphere_pass_planar(scene, i, origin, dx, dy, dz)
+    if sph_out is not None:
+        # fused winner: per-ray constants resolve by sphere id (M-way
+        # select, like _mat_const), then ONE Blinn-Phong + composite —
+        # bit-identical to the sequential passes (the kernel picked the
+        # winner by the same strict nonlinear-depth rule)
+        st, sid, nx, ny, nz = sph_out
+        hit = jnp.isfinite(st)
+
+        def sph_const(getter):
+            out = jnp.full((r,), getter(0))
+            for k in range(1, scene.num_spheres):
+                out = jnp.where(sid == float(k), getter(k), out)
+            return out
+
+        lx = sph_const(lambda k: scene.sphere_light[k, 0])
+        ly = sph_const(lambda k: scene.sphere_light[k, 1])
+        lz = sph_const(lambda k: scene.sphere_light[k, 2])
+        c0 = sph_const(lambda k: scene.sphere_coeff[k, 0])
+        c1 = sph_const(lambda k: scene.sphere_coeff[k, 1])
+        c2 = sph_const(lambda k: scene.sphere_coeff[k, 2])
+        kr = sph_const(lambda k: scene.sphere_color[k, 0])
+        kg = sph_const(lambda k: scene.sphere_color[k, 1])
+        kb = sph_const(lambda k: scene.sphere_color[k, 2])
         lam, spec = blinn_phong_planar(nx, ny, nz, dx, dy, dz,
-                                       scene.sphere_light[i])
-        coeff = scene.sphere_coeff[i]
-        col = scene.sphere_color[i]
-        shade = coeff[0] + coeff[1] * lam
-        pr = col[0] * shade + coeff[2] * spec
-        pg = col[1] * shade + coeff[2] * spec
-        pb = col[2] * shade + coeff[2] * spec
+                                       (lx, ly, lz))
+        shade = c0 + c1 * lam
+        pr = kr * shade + c2 * spec
+        pg = kg * shade + c2 * spec
+        pb = kb * shade + c2 * spec
         extra = None
         if shadows:
-            light = scene.sphere_light[i]
-            extra = [col[0] * coeff[0], col[1] * coeff[0], col[2] * coeff[0],
-                     t, nx, ny, nz,
-                     jnp.full((r,), light[0]), jnp.full((r,), light[1]),
-                     jnp.full((r,), light[2]),
-                     (lam > 0.0) | (spec > 0.0)]
-        state, write = composite(state, pr, pg, pb, t, hit, extra)
+            extra = [kr * c0, kg * c0, kb * c0, st, nx, ny, nz,
+                     lx, ly, lz, (lam > 0.0) | (spec > 0.0)]
+        state, write = composite(state, pr, pg, pb, st, hit, extra)
         if shadows:
             covered = covered | write
+    else:
+        for i in range(scene.num_spheres):
+            t, hit, nx, ny, nz = sphere_pass_planar(scene, i, origin,
+                                                    dx, dy, dz)
+            lam, spec = blinn_phong_planar(nx, ny, nz, dx, dy, dz,
+                                           scene.sphere_light[i])
+            coeff = scene.sphere_coeff[i]
+            col = scene.sphere_color[i]
+            shade = coeff[0] + coeff[1] * lam
+            pr = col[0] * shade + coeff[2] * spec
+            pg = col[1] * shade + coeff[2] * spec
+            pb = col[2] * shade + coeff[2] * spec
+            extra = None
+            if shadows:
+                light = scene.sphere_light[i]
+                extra = [col[0] * coeff[0], col[1] * coeff[0],
+                         col[2] * coeff[0],
+                         t, nx, ny, nz,
+                         jnp.full((r,), light[0]),
+                         jnp.full((r,), light[1]),
+                         jnp.full((r,), light[2]),
+                         (lam > 0.0) | (spec > 0.0)]
+            state, write = composite(state, pr, pg, pb, t, hit, extra)
+            if shadows:
+                covered = covered | write
 
     # --- mesh pass (Pallas G-buffer + one-gather shading) ---
     if has_mesh:
-        gb = gbuffer_pallas(scene, origin, dx, dy, dz, interpret=interpret,
-                            with_nm=normal_mapping, accel=accel)
         hit = jnp.isfinite(gb.t)
 
         flip = gb.nd > 0.0
