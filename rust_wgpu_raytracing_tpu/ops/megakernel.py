@@ -315,7 +315,8 @@ def _row1(ref):
     return ref[:].reshape(1, -1)  # 1D (TILE_R,) block -> (1, TILE_R)
 
 
-def _ordered_cluster_loop(tlb_ref, order_ref, nb, visit, bound_fn):
+def _ordered_cluster_loop(tlb_ref, order_ref, nb, visit, bound_fn,
+                          refresh: int = 4):
     """In-kernel FRONT-TO-BACK cluster loop for the all-VMEM kernels:
     order_ref (1,1,nb) SMEM holds the tile's clusters sorted ascending
     by conservative entry t (tlb_ref, +inf for culled clusters — the
@@ -325,17 +326,29 @@ def _ordered_cluster_loop(tlb_ref, order_ref, nb, visit, bound_fn):
     lexicographic (t, face) winner. Exact — same guarantee as the
     streaming loop's stop_fn (see _stream_sched), at single-cluster
     granularity. An all-culled tile costs ONE scalar compare (tlb inf),
-    replacing the word scan entirely."""
+    replacing the word scan entirely.
 
-    def cond(p):
-        c = order_ref[0, 0, jnp.minimum(p, nb - 1)]
-        return jnp.logical_and(p < nb, tlb_ref[0, 0, c] <= bound_fn())
+    The bound is a full cross-lane reduction over the tile — at 8-face
+    cluster granularity it costs about as much as the visit itself —
+    so it is recomputed only every `refresh` visits and carried stale
+    in between. A stale bound is the max over an OLDER (no smaller)
+    best-t state, so the admitted cluster set is a superset of the
+    per-visit-exact one and merges are idempotent: results stay
+    bit-identical (tested), the loop just stops up to refresh-1
+    clusters later."""
 
-    def body(p):
+    def cond(c):
+        p, b = c
+        ci = order_ref[0, 0, jnp.minimum(p, nb - 1)]
+        return jnp.logical_and(p < nb, tlb_ref[0, 0, ci] <= b)
+
+    def body(c):
+        p, b = c
         visit(order_ref[0, 0, p])
-        return p + 1
+        b = jax.lax.cond((p + 1) % refresh == 0, bound_fn, lambda: b)
+        return p + 1, b
 
-    jax.lax.while_loop(cond, body, jnp.int32(0))
+    jax.lax.while_loop(cond, body, (jnp.int32(0), bound_fn()))
 
 
 def _make_closest_hit_kernel(block_f: int, n_blocks: int,
@@ -601,12 +614,14 @@ def _make_anyhit_kernel(block_f: int, n_blocks: int):
 
 
 def _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref,
-              gc0=0, dcc0=0):
+              gc0=0, dcc0=0, acc_ref=None):
     """Any-hit block merge: occ |= any face in the block occludes.
     gc0/dcc0: static column offsets — the banked slim stream buffers
     pass the full 128-lane row slab and read bank jb's columns in
     place (single-lane broadcasts at static lanes; a (32, 16) window
-    slice would cost a lane-shift relayout per visit)."""
+    slice would cost a lane-shift relayout per visit). acc_ref: fold
+    hits into a (BF, TILE_R) accumulator instead of reducing per block
+    (streamed path; reduced once per word in the caller's flush)."""
 
     def col(m, k, m0=0):
         return m[:, m0 + k:m0 + k + 1]
@@ -633,6 +648,11 @@ def _ah_block(g, dc, dx, dy, dz, ox, oy, oz, act_ref, occ_ref,
         & (h1 >= 0.0)
         & (h2 >= 0.0)
     )
+    if acc_ref is not None:  # per-word accumulate (streamed kernels):
+        # one elementwise select per visit; the cross-sublane any()
+        # happens ONCE per (subtile, word) in the flush
+        acc_ref[:] = jnp.where(hit, 1.0, acc_ref[:])
+        return
     any_hit = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0) * act_ref[:]
     occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
 
@@ -1044,10 +1064,11 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
                        (j0, jnp.int32(0), pending0))
 
 
-def _stream_scratch(acc_tile_r=None):
-    """Two double-buffer slots + DMA semaphores; with acc_tile_r, two
-    extra (CULL_BLOCK, tile_r) VMEM planes for the per-word
-    lexicographic accumulator (_acc_merge/_acc_flush)."""
+def _stream_scratch(acc_tile_r=None, n_acc=2):
+    """Two double-buffer slots + DMA semaphores; with acc_tile_r,
+    n_acc extra (CULL_BLOCK, tile_r) VMEM planes for the per-word
+    accumulators (_acc_merge/_acc_flush; the any-hit kernel folds hit
+    flags into one)."""
     s = [
         pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
         pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
@@ -1055,8 +1076,8 @@ def _stream_scratch(acc_tile_r=None):
         pltpu.SemaphoreType.DMA(()),
     ]
     if acc_tile_r is not None:
-        s += [pltpu.VMEM((CULL_BLOCK, acc_tile_r), jnp.float32),
-              pltpu.VMEM((CULL_BLOCK, acc_tile_r), jnp.float32)]
+        s += [pltpu.VMEM((CULL_BLOCK, acc_tile_r), jnp.float32)
+              for _ in range(n_acc)]
     return s
 
 
@@ -1408,7 +1429,7 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref, act_ref, texit_ref, pack_hbm,
-               occ_ref, buf0, buf1, sem0, sem1):
+               occ_ref, buf0, buf1, sem0, sem1, acc_h):
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
         subs = []
@@ -1421,12 +1442,20 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
                          _SubView(occ_ref, s0, tile_r),
                          _SubView(texit_ref, s0, tile_r)))
 
+        def sub_begin(sub):
+            acc_h[:] = jnp.zeros_like(acc_h)
+
         def visit_bit(sbufs, s, b_, sub):
             (dx, dy, dz, ox, oy, oz), act_v, occ_v, _ = subs[sub]
             r0 = pl.multiple_of(b_ * block_f, block_f)
             blk = sbufs[0][pl.ds(r0, block_f), :]
             _ah_block(blk, blk, dx, dy, dz, ox, oy, oz,
-                      act_v, occ_v, gc0=0, dcc0=SC_DC)
+                      act_v, occ_v, gc0=0, dcc0=SC_DC, acc_ref=acc_h)
+
+        def sub_flush(sub, s):
+            _, act_v, occ_v, _ = subs[sub]
+            any_hit = jnp.max(acc_h[:], axis=0) * act_v[:]
+            occ_v[:] = jnp.maximum(occ_v[:], any_hit)
 
         def need(act_v, occ_v, tex_v):
             # per-ray t ceiling: root exit while unoccluded+active,
@@ -1453,7 +1482,9 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
                           nsub=nsub, done_fn=all_occluded,
                           sub_done_fn=sub_skip,
                           order_ref=_Row2View(order_ref),
-                          stop_fn=stop_word)
+                          stop_fn=stop_word,
+                          sub_begin_fn=sub_begin,
+                          sub_flush_fn=sub_flush)
 
     return kernel
 
@@ -1950,7 +1981,7 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
             ],
             out_specs=ray_spec_s,
             out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
-            scratch_shapes=_stream_scratch(),
+            scratch_shapes=_stream_scratch(acc_tile_r=tile_r, n_acc=1),
             interpret=interpret,
         )(mask3, order2[:, None, :], tlb3, *args, act, texit, spack)
     else:
