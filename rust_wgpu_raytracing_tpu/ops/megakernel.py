@@ -1082,9 +1082,10 @@ def _stream_scratch(acc_tile_r=None, n_acc=2):
 
 
 # ray subtiles batched per streaming grid step: one superblock fetch
-# serves STREAM_BATCH tiles (VMEM: STREAM_BATCH x 11 output planes
-# ~360 KB beside the two 512 KB stream slots)
-STREAM_BATCH = 8
+# serves STREAM_BATCH tiles (VMEM per batch: STREAM_BATCH x (4 ray +
+# 2 output) planes ~24 KB/subtile beside the two 512 KB stream slots
+# and the (32, tile_r) accumulators). Env-overridable for sweeps.
+STREAM_BATCH = int(__import__("os").environ.get("RT_STREAM_BATCH", "8"))
 
 
 def _stream_mask_spec(mask, n_tiles, nwords, tile_r, nsub):
