@@ -674,7 +674,8 @@ def _make_fused_extend_shadow_kernel(block_f: int, n_blocks: int,
 
     def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
                sdx_ref, sdy_ref, sdz_ref, sox_ref, soy_ref, soz_ref,
-               act_ref, fpack_ref, dc_ref, t_ref, face_ref, occ_ref):
+               act_ref, fpack_ref, dc_ref, t_ref, face_ref, occ_ref,
+               acc_t, acc_f, acc_h):
         i = pl.program_id(0)
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         face_ref[:] = jnp.zeros_like(face_ref)
@@ -686,16 +687,29 @@ def _make_fused_extend_shadow_kernel(block_f: int, n_blocks: int,
         sox, soy, soz = _row1(sox_ref), _row1(soy_ref), _row1(soz_ref)
         nb = n_blocks
 
+        def word_begin():
+            acc_t[:] = jnp.full_like(acc_t, F32_INF)
+            acc_f[:] = jnp.zeros_like(acc_f)
+            acc_h[:] = jnp.zeros_like(acc_h)
+
         def visit(jj):
             base = pl.multiple_of(jj * block_f, block_f)
             g = fpack_ref[pl.ds(base, block_f), :]
             dc = dc_ref[pl.ds(base, block_f), :]
-            _chp_block_slim(g, dx, dy, dz, ox, oy, oz, jj * block_f,
-                            t_ref, face_ref, gc0=0, dcc0=0, dcref=dc)
+            t, valid = _chp_block_tv(g, dx, dy, dz, ox, oy, oz,
+                                     gc0=0, dcc0=0, dcref=dc)
+            _acc_merge(t, valid, jj * block_f, acc_t, acc_f)
             _ah_block(g, dc, sdx, sdy, sdz, sox, soy, soz, act_ref,
-                      occ_ref)
+                      occ_ref, acc_ref=acc_h)
 
-        _mask_word_loop(mask_ref, nwords, nb, i, visit)
+        def word_flush(w):
+            _acc_flush(acc_t, acc_f, t_ref, face_ref)
+            any_hit = jnp.max(acc_h[:], axis=0) * act_ref[:]
+            occ_ref[:] = jnp.maximum(occ_ref[:], any_hit)
+
+        _mask_word_loop(mask_ref, nwords, nb, i, visit,
+                        word_begin_fn=word_begin,
+                        word_flush_fn=word_flush)
 
     return kernel
 
@@ -797,6 +811,9 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((block_f, tile_r), jnp.float32)
+            for _ in range(3)],  # per-word acc: t, face, hit
     )
     outs = pl.pallas_call(
         _make_fused_extend_shadow_kernel(block_f, f // block_f, nwords),
@@ -851,7 +868,8 @@ def _pack_mask_bits(mask):
 
 
 def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None,
-                    order_ref=None):
+                    order_ref=None, word_begin_fn=None,
+                    word_flush_fn=None):
     """In-kernel loop over active clusters: iterate the packed mask one
     32-bit word at a time, skipping zero words entirely (a tile that
     sees no geometry costs nb/32 scalar checks instead of nb), and
@@ -861,7 +879,9 @@ def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None,
     (optional, SMEM (nwords,) i32 permutation) replays the words in a
     caller-chosen order — the shadow kernels sort words near-to-far
     along the light so occluders are met (and the early exit fires)
-    first; any order is correct (the merges are order-independent)."""
+    first; any order is correct (the merges are order-independent).
+    word_begin_fn/word_flush_fn bracket each non-zero word's bit loop
+    (per-word accumulator reset/flush, see _acc_merge)."""
 
     def word_step(k, carry):
         w = order_ref[k] if order_ref is not None else k
@@ -872,6 +892,9 @@ def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None,
 
         @pl.when(pred)
         def _():
+            if word_begin_fn is not None:
+                word_begin_fn()
+
             def bit_step(b, c2):
                 @pl.when(((word >> b) & 1) > 0)
                 def _():
@@ -880,6 +903,8 @@ def _mask_word_loop(mask_ref, nwords, nb, i, visit, done_fn=None,
 
             nbits = jnp.minimum(nb - w * 32, 32)
             jax.lax.fori_loop(0, nbits, bit_step, 0)
+            if word_flush_fn is not None:
+                word_flush_fn(w)
         return carry
 
     jax.lax.fori_loop(0, nwords, word_step, 0)
@@ -1064,11 +1089,12 @@ def _stream_word_loop(mask_ref, n_super, sup_f, block_f, streams,
                        (j0, jnp.int32(0), pending0))
 
 
-def _stream_scratch(acc_tile_r=None, n_acc=2):
+def _stream_scratch(acc_tile_r=None, n_acc=2, nsub=None):
     """Two double-buffer slots + DMA semaphores; with acc_tile_r,
     n_acc extra (CULL_BLOCK, tile_r) VMEM planes for the per-word
     accumulators (_acc_merge/_acc_flush; the any-hit kernel folds hit
-    flags into one)."""
+    flags into one); with nsub, an SMEM (nsub,) plane for the cached
+    per-sub termination bounds."""
     s = [
         pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
         pltpu.VMEM((SUPER_F, STREAM_COLS), jnp.float32),
@@ -1078,6 +1104,8 @@ def _stream_scratch(acc_tile_r=None, n_acc=2):
     if acc_tile_r is not None:
         s += [pltpu.VMEM((CULL_BLOCK, acc_tile_r), jnp.float32)
               for _ in range(n_acc)]
+    if nsub is not None:
+        s.append(pltpu.SMEM((nsub,), jnp.float32))
     return s
 
 
@@ -1296,7 +1324,7 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                texit_ref, pack_hbm,
                t_ref, face_ref,
-               buf0, buf1, sem0, sem1, acc_t, acc_f):
+               buf0, buf1, sem0, sem1, acc_t, acc_f, bnd):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         face_ref[:] = jnp.zeros_like(face_ref)
 
@@ -1309,6 +1337,13 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
             views = tuple(_SubView(o, s0, tile_r)
                           for o in (t_ref, face_ref))
             subs.append((dx, dy, dz, views))
+            # per-sub termination bound, CACHED in SMEM: it can only
+            # change when this sub's t rows change, i.e. at flush —
+            # recomputing there (once per VISITED word) instead of in
+            # sub_skip/stop_word (once per word x sub, visited or not)
+            # drops 2 cross-lane reductions per word with the exact
+            # same values (t starts at inf, so init = max root-exit)
+            bnd[sub] = jnp.max(texit_ref[s0:s0 + tile_r])
 
         def sub_begin(sub):
             acc_t[:] = jnp.full_like(acc_t, F32_INF)
@@ -1325,16 +1360,18 @@ def _make_streaming_ch_slim_kernel(sup_f: int, n_super: int,
 
         def sub_flush(sub, s):
             _acc_flush(acc_t, acc_f, *subs[sub][3])
-
-        def sub_skip(sub, s):
             s0 = sub * tile_r
             t_v = subs[sub][3][0]
-            bound = jnp.max(jnp.minimum(t_v[:],
-                                        texit_ref[s0:s0 + tile_r]))
-            return tlb_ref[0, sub, s] > bound
+            bnd[sub] = jnp.max(jnp.minimum(t_v[:],
+                                           texit_ref[s0:s0 + tile_r]))
+
+        def sub_skip(sub, s):
+            return tlb_ref[0, sub, s] > bnd[sub]
 
         def stop_word(s):
-            bound = jnp.max(jnp.minimum(t_ref[:], texit_ref[:]))
+            bound = bnd[0]
+            for sub in range(1, nsub):
+                bound = jnp.maximum(bound, bnd[sub])
             return tlb_ref[0, nsub, s] > bound
 
         _stream_word_loop(
@@ -1357,7 +1394,7 @@ def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref, texit_ref, pack_hbm,
                t_ref, face_ref,
-               buf0, buf1, sem0, sem1, acc_t, acc_f):
+               buf0, buf1, sem0, sem1, acc_t, acc_f, bnd):
         t_ref[:] = jnp.full_like(t_ref, F32_INF)
         face_ref[:] = jnp.zeros_like(face_ref)
 
@@ -1370,6 +1407,7 @@ def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
             views = tuple(_SubView(o, s0, tile_r)
                           for o in (t_ref, face_ref))
             subs.append((rows, views))
+            bnd[sub] = jnp.max(texit_ref[s0:s0 + tile_r])
 
         def sub_begin(sub):
             acc_t[:] = jnp.full_like(acc_t, F32_INF)
@@ -1386,16 +1424,18 @@ def _make_streaming_chp_slim_kernel(sup_f: int, n_super: int,
 
         def sub_flush(sub, s):
             _acc_flush(acc_t, acc_f, *subs[sub][1])
-
-        def sub_skip(sub, s):
             s0 = sub * tile_r
             t_v = subs[sub][1][0]
-            bound = jnp.max(jnp.minimum(t_v[:],
-                                        texit_ref[s0:s0 + tile_r]))
-            return tlb_ref[0, sub, s] > bound
+            bnd[sub] = jnp.max(jnp.minimum(t_v[:],
+                                           texit_ref[s0:s0 + tile_r]))
+
+        def sub_skip(sub, s):
+            return tlb_ref[0, sub, s] > bnd[sub]
 
         def stop_word(s):
-            bound = jnp.max(jnp.minimum(t_ref[:], texit_ref[:]))
+            bound = bnd[0]
+            for sub in range(1, nsub):
+                bound = jnp.maximum(bound, bnd[sub])
             return tlb_ref[0, nsub, s] > bound
 
         _stream_word_loop(
@@ -1430,8 +1470,14 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
 
     def kernel(mask_ref, order_ref, tlb_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref, act_ref, texit_ref, pack_hbm,
-               occ_ref, buf0, buf1, sem0, sem1, acc_h):
+               occ_ref, buf0, buf1, sem0, sem1, acc_h, bnd):
         occ_ref[:] = jnp.zeros_like(occ_ref)
+
+        def need(act_v, occ_v, tex_v):
+            # per-ray t ceiling: root exit while unoccluded+active,
+            # -1 once the ray needs no more testing
+            live = act_v[:] * (1.0 - occ_v[:])
+            return jnp.where(live > 0.0, tex_v[:], -1.0)
 
         subs = []
         for sub in range(nsub):
@@ -1442,6 +1488,12 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
             subs.append((rows, _SubView(act_ref, s0, tile_r),
                          _SubView(occ_ref, s0, tile_r),
                          _SubView(texit_ref, s0, tile_r)))
+            # cached per-sub bound (occ only changes at flush, so the
+            # SMEM scalar is exactly the reduction sub_skip used to
+            # recompute per word); bound < 0 also means "every ray of
+            # this sub is done", which makes all_occluded a scalar scan
+            _, act_v, occ_v, tex_v = subs[sub]
+            bnd[sub] = jnp.max(need(act_v, occ_v, tex_v))
 
         def sub_begin(sub):
             acc_h[:] = jnp.zeros_like(acc_h)
@@ -1454,28 +1506,25 @@ def _make_streaming_anyhit_kernel(block_f: int, sup_f: int, n_super: int,
                       act_v, occ_v, gc0=0, dcc0=SC_DC, acc_ref=acc_h)
 
         def sub_flush(sub, s):
-            _, act_v, occ_v, _ = subs[sub]
+            _, act_v, occ_v, tex_v = subs[sub]
             any_hit = jnp.max(acc_h[:], axis=0) * act_v[:]
             occ_v[:] = jnp.maximum(occ_v[:], any_hit)
+            bnd[sub] = jnp.max(need(act_v, occ_v, tex_v))
 
-        def need(act_v, occ_v, tex_v):
-            # per-ray t ceiling: root exit while unoccluded+active,
-            # -1 once the ray needs no more testing
-            live = act_v[:] * (1.0 - occ_v[:])
-            return jnp.where(live > 0.0, tex_v[:], -1.0)
+        def batch_bound():
+            bound = bnd[0]
+            for sub in range(1, nsub):
+                bound = jnp.maximum(bound, bnd[sub])
+            return bound
 
         def all_occluded():
-            return jnp.min(jnp.maximum(occ_ref[:],
-                                       1.0 - act_ref[:])) >= 1.0
+            return batch_bound() < 0.0
 
         def sub_skip(sub, s):
-            _, act_v, occ_v, tex_v = subs[sub]
-            return tlb_ref[0, sub, s] > jnp.max(need(act_v, occ_v, tex_v))
+            return tlb_ref[0, sub, s] > bnd[sub]
 
         def stop_word(s):
-            live = act_ref[:] * (1.0 - occ_ref[:])
-            bound = jnp.max(jnp.where(live > 0.0, texit_ref[:], -1.0))
-            return tlb_ref[0, nsub, s] > bound
+            return tlb_ref[0, nsub, s] > batch_bound()
 
         _stream_word_loop(mask_ref, n_super, sup_f, block_f,
                           [(pack_hbm, (buf0, buf1), (sem0, sem1), sup_f)],
@@ -1750,7 +1799,8 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
             ],
             out_specs=[ray_spec_s] * 2,
             out_shape=tf_shape,
-            scratch_shapes=_stream_scratch(acc_tile_r=tile_r),
+            scratch_shapes=_stream_scratch(acc_tile_r=tile_r,
+                                           nsub=nsub),
             interpret=interpret,
         )(mask3, order2[:, None, :], tlb3, dx, dy, dz, texit, spack)
     else:
@@ -1884,7 +1934,8 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
             ],
             out_specs=[ray_spec_s] * 2,
             out_shape=tf_shape,
-            scratch_shapes=_stream_scratch(acc_tile_r=tile_r),
+            scratch_shapes=_stream_scratch(acc_tile_r=tile_r,
+                                           nsub=nsub),
             interpret=interpret,
         )(mask3, order2[:, None, :], tlb3, *planes, texit, spack)
     else:
@@ -1982,7 +2033,8 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
             ],
             out_specs=ray_spec_s,
             out_shape=jax.ShapeDtypeStruct((r,), jnp.float32),
-            scratch_shapes=_stream_scratch(acc_tile_r=tile_r, n_acc=1),
+            scratch_shapes=_stream_scratch(acc_tile_r=tile_r, n_acc=1,
+                                           nsub=nsub),
             interpret=interpret,
         )(mask3, order2[:, None, :], tlb3, *args, act, texit, spack)
     else:
