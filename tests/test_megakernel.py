@@ -164,6 +164,66 @@ class TestRenderParity:
         np.testing.assert_array_equal(np.asarray(cs), np.asarray(cf))
         np.testing.assert_array_equal(np.asarray(ds), np.asarray(df))
 
+    @needs_assets
+    def test_fused_sphere_winner_matches_sequential(self):
+        """The in-kernel sphere fusion must pick EXACTLY the sphere the
+        sequential composite would: winner by strict nonlinear depth
+        (not by t — distinct t can round to equal f32 depth), earlier
+        config index on ties, with the winner's t/normal bit-equal to
+        sphere_pass_planar's values for that sphere."""
+        from rust_wgpu_raytracing_tpu.core.camera import CameraUniforms
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+        from rust_wgpu_raytracing_tpu.ops.composite import \
+            to_nonlinear_depth
+
+        cfg = reference_scene(48, 48)
+        cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 0.9)))
+        scene = Scene.build(cfg)
+        sd = scene.data
+        assert sd.num_spheres >= 2
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = jnp.asarray(cam.uniforms().flat())
+        uo = CameraUniforms.unflat(uni)
+        dx, dy, dz = mk.raygen_planar(48, 48, uo)
+        origin = uo.origin
+
+        _, sph = mk.gbuffer_pallas(sd, origin, dx, dy, dz,
+                                   interpret=True, with_spheres=True)
+        st, sid, snx, sny, snz = [np.asarray(a) for a in sph]
+
+        # sequential reference: first sphere whose nonlinear depth is
+        # strictly below the running best
+        best_d = np.full(dx.shape, np.inf, np.float32)
+        exp = [np.full(dx.shape, np.inf, np.float32),
+               np.zeros(dx.shape, np.float32)] + \
+              [np.zeros(dx.shape, np.float32) for _ in range(3)]
+        for i in range(sd.num_spheres):
+            t, hit, nx, ny, nz = mk.sphere_pass_planar(
+                sd, i, origin, dx, dy, dz)
+            t, hit, nx, ny, nz = [np.asarray(a)
+                                  for a in (t, hit, nx, ny, nz)]
+            d = np.where(hit, np.asarray(
+                to_nonlinear_depth(jnp.asarray(t))), np.inf)
+            w = d < best_d
+            best_d = np.where(w, d, best_d)
+            for ref, new in zip(exp, (t, float(i), nx, ny, nz)):
+                ref[...] = np.where(w, new, ref)
+
+        # winner IDENTITY must match exactly (the composite-order
+        # semantics); values to float tolerance — the kernel compiles
+        # with FMA contraction the eager per-sphere reference lacks,
+        # so last-ulp equality across the two compilation contexts is
+        # not defined (frame-level parity is pinned at u8 exactness by
+        # the oracle tests + goldens + the on-TPU gate)
+        hit = np.isfinite(exp[0])
+        np.testing.assert_array_equal(np.isfinite(st), hit)
+        np.testing.assert_array_equal(sid[hit], exp[1][hit])
+        np.testing.assert_allclose(st[hit], exp[0][hit], rtol=1e-5)
+        np.testing.assert_allclose(snx[hit], exp[2][hit], atol=1e-5)
+        np.testing.assert_allclose(sny[hit], exp[3][hit], atol=1e-5)
+        np.testing.assert_allclose(snz[hit], exp[4][hit], atol=1e-5)
+        assert hit.any()
+
 
 class TestTiledOrder:
     @needs_assets
