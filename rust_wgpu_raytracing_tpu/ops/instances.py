@@ -248,6 +248,15 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             # re-derive it from spack
             sd = dataclasses.replace(
                 sd, spack=sp, gpack=gpack_from_stream(sp))
+        else:
+            # sub-streaming refit: every closest-hit path now resolves
+            # winner attributes from gpack (expand_tf_gbuffer), so
+            # refresh it once per refit — otherwise each kernel entry
+            # of the frame re-derives the full (F, 128) record in-jit
+            from .megakernel import gpack_from_stream, pack_stream_columns
+
+            sd = dataclasses.replace(
+                sd, gpack=gpack_from_stream(pack_stream_columns(sd)))
         return sd
 
 

@@ -217,7 +217,10 @@ def gpack_from_stream(spack: jnp.ndarray) -> jnp.ndarray:
     cols = jnp.asarray(GPACK_SRC_COLS, jnp.int32)
     if f <= SUPER_F:  # small (refit/instanced) scenes: one shot
         return jnp.take(spack, cols, axis=1).T
-    ns = f // SUPER_F
+    # ceil-div so a tail partial superblock is covered: both dynamic
+    # slice AND update clamp the final chunk's start to f - SUPER_F,
+    # so the overlap rewrites identical values and no face is skipped
+    ns = -(-f // SUPER_F)
     out = jnp.zeros((GPACK_ROWS, f), jnp.float32)
 
     def body(s, acc):
@@ -1732,10 +1735,13 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
     (brute/cull/bvh, see _mask_words); stream=None auto-selects the
     HBM-streaming kernel for face packs too big for VMEM.
 
-    with_spheres=True (VMEM path only) fuses the scene's sphere passes
-    into the sweep and returns (GBuffer, (t, id_f32, nx, ny, nz)) —
+    with_spheres=True fuses the scene's sphere passes into the sweep
+    and returns (GBuffer, sph) with sph = (t, id_f32, nx, ny, nz) —
     the winning sphere per ray, selected by nonlinear depth exactly
-    like the sequential composite (see _make_closest_hit_kernel)."""
+    like the sequential composite (see _make_closest_hit_kernel).
+    Fusion only exists on the VMEM path: on the streaming path (or
+    with no spheres) sph is None and the caller must run the
+    per-sphere passes itself."""
     f = scene.tri_p0.shape[0]
     block_f = _natural_block_f(scene, f) if block_f is None \
         else min(block_f, f)
@@ -1854,7 +1860,8 @@ def gbuffer_pallas(scene: SceneData, origin, dx, dy, dz, *,
                            origin=origin, oterm=oterm,
                            with_nm=with_nm)
     if with_spheres:
-        return gb, (sph_out if scene.num_spheres else None)
+        return gb, (sph_out if (not stream and scene.num_spheres)
+                    else None)
     return gb
 
 
@@ -2565,19 +2572,17 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
 
     # spheres ride the VMEM G-buffer sweep when there is one (winner-
     # only: one shading + composite instead of a full-screen pass per
-    # sphere); streamed/meshless frames keep the per-sphere XLA passes
-    f_pad = scene.tri_p0.shape[0]
-    fuse_spheres = (has_mesh and scene.num_spheres > 0
-                    and not _should_stream(
-                        f_pad, _natural_block_f(scene, f_pad)))
+    # sphere); gbuffer_pallas itself decides whether fusion applies
+    # (VMEM path only) and returns sph_out=None otherwise — streamed/
+    # meshless frames keep the per-sphere XLA passes below
     sph_out = None
     if has_mesh:
-        gb_res = gbuffer_pallas(scene, origin, dx, dy, dz,
-                                interpret=interpret,
-                                with_nm=normal_mapping, accel=accel,
-                                with_spheres=fuse_spheres,
-                                near=near, far=far)
-        gb, sph_out = gb_res if fuse_spheres else (gb_res, None)
+        gb, sph_out = gbuffer_pallas(scene, origin, dx, dy, dz,
+                                     interpret=interpret,
+                                     with_nm=normal_mapping,
+                                     accel=accel,
+                                     with_spheres=True,
+                                     near=near, far=far)
 
     # --- sphere passes, in config order (src/lib.rs:1106-1148) ---
     if sph_out is not None:

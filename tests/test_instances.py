@@ -169,3 +169,22 @@ class TestLargeAndMultiGroup:
             meshes=(MeshConfig(obj_path="cube.obj"),),
             render=RenderConfig(width=8, height=8)))
         assert inst.fb_real == ref.data.num_faces
+
+
+def test_gpack_from_stream_covers_tail_partial_superblock():
+    """Regression: gpack_from_stream floor-divided by SUPER_F, so a
+    refit scene whose padded face count is not a superblock multiple
+    (e.g. 3 x 512-face instances = 1536) rendered its tail faces with
+    all-zero attributes. Ceil-div + clamped slices must cover every
+    face exactly."""
+    import numpy as np
+    from rust_wgpu_raytracing_tpu.core.scene import (GPACK_SRC_COLS,
+                                                     STREAM_COLS, SUPER_F)
+    from rust_wgpu_raytracing_tpu.ops.megakernel import gpack_from_stream
+
+    rng = np.random.default_rng(7)
+    for f in (512, 1024, 1536, 2048, 2560):
+        spack = rng.standard_normal((f, STREAM_COLS)).astype(np.float32)
+        got = np.asarray(gpack_from_stream(jnp.asarray(spack)))
+        want = spack[:, GPACK_SRC_COLS].T
+        np.testing.assert_array_equal(got, want, err_msg=f"f={f}")
