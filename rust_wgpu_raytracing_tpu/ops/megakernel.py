@@ -1254,8 +1254,10 @@ def _acc_merge(t, valid, face_base, acc_t, acc_f):
     yields the same global (min t, min face among min t) winner as the
     per-block merge (tested bit-identical)."""
     tm = jnp.where(valid, t, F32_INF)
+    # face ids exact in f32 < 2^24; iota must be INTEGER for Mosaic
+    # (tpu.iota rejects float results) and convert after
     nf = jnp.float32(face_base) + jax.lax.broadcasted_iota(
-        jnp.float32, (tm.shape[0], 1), 0)  # face ids exact in f32 < 2^24
+        jnp.int32, (tm.shape[0], 1), 0).astype(jnp.float32)
     at = acc_t[:]
     af = acc_f[:]
     upd = (tm < at) | ((tm == at) & (nf < af))
