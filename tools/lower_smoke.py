@@ -73,4 +73,25 @@ ok &= lower("vmem CH bvh accel", lambda s, o, a, b, c:
             mk.gbuffer_pallas(s, o, a, b, c, accel="bvh").t,
             sd2, uo2.origin, dx2, dy2, dz2)
 
+# instanced refit (bench config 5's jit program: device-side refit +
+# in-jit gpack refresh + render)
+from rust_wgpu_raytracing_tpu.ops.instances import (InstancedScene,
+                                                    grid_transforms)
+try:
+    inst = InstancedScene.from_config(
+        MeshConfig(obj_path="suzanne_lowpoly.obj"), 4)
+    cfg5 = SceneConfig(camera=CameraConfig(eye=(0.0, 0.0, 18.0)),
+                       render=RenderConfig(width=128, height=128))
+    cam5 = Camera.from_config(cfg5.camera, aspect=1.0)
+    uni5 = jnp.asarray(cam5.uniforms().flat())
+    tr = grid_transforms(4, spacing=2.5, z=-6.0, angle=0.1)
+
+    def refit_frame(uni, tr):
+        sdi = inst.instantiate(tr)
+        return mk.render_megakernel(sdi, uni, width=128, height=128)[0]
+
+    ok &= lower("instanced refit frame", refit_frame, uni5, tr)
+except FileNotFoundError:
+    print("instanced refit frame: SKIPPED (asset missing)", flush=True)
+
 print("ALL OK" if ok else "SOME FAILED", flush=True)
