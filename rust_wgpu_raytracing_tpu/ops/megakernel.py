@@ -675,7 +675,8 @@ def _make_fused_extend_shadow_kernel(block_f: int, n_blocks: int,
     merges are idempotent, any-hit is an OR), so both results are
     bit-identical to the separate kernels."""
 
-    def kernel(mask_ref, dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
+    def kernel(mask_ref, maska_ref, maskb_ref,
+               dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
                sdx_ref, sdy_ref, sdz_ref, sox_ref, soy_ref, soz_ref,
                act_ref, fpack_ref, dc_ref, t_ref, face_ref, occ_ref,
                acc_t, acc_f, acc_h):
@@ -696,14 +697,28 @@ def _make_fused_extend_shadow_kernel(block_f: int, n_blocks: int,
             acc_h[:] = jnp.zeros_like(acc_h)
 
         def visit(jj):
+            # the loop walks the UNION mask; each wavefront's work is
+            # gated by ITS OWN mask bit (a cluster outside a set's
+            # conservative cull mask provably cannot intersect that
+            # set's rays, so the skip is bit-exact — same argument as
+            # the split kernels, which use their own masks). The
+            # measured reason streamed fusion lost was exactly this
+            # cross-visit waste on weakly-overlapping masks.
+            w, b = jj // 32, jj % 32
             base = pl.multiple_of(jj * block_f, block_f)
             g = fpack_ref[pl.ds(base, block_f), :]
             dc = dc_ref[pl.ds(base, block_f), :]
-            t, valid = _chp_block_tv(g, dx, dy, dz, ox, oy, oz,
-                                     gc0=0, dcc0=0, dcref=dc)
-            _acc_merge(t, valid, jj * block_f, acc_t, acc_f)
-            _ah_block(g, dc, sdx, sdy, sdz, sox, soy, soz, act_ref,
-                      occ_ref, acc_ref=acc_h)
+
+            @pl.when(((maska_ref[i * nwords + w] >> b) & 1) > 0)
+            def _():
+                t, valid = _chp_block_tv(g, dx, dy, dz, ox, oy, oz,
+                                         gc0=0, dcc0=0, dcref=dc)
+                _acc_merge(t, valid, jj * block_f, acc_t, acc_f)
+
+            @pl.when(((maskb_ref[i * nwords + w] >> b) & 1) > 0)
+            def _():
+                _ah_block(g, dc, sdx, sdy, sdz, sox, soy, soz, act_ref,
+                          occ_ref, acc_ref=acc_h)
 
         def word_flush(w):
             _acc_flush(acc_t, acc_f, t_ref, face_ref)
@@ -797,7 +812,7 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
     mask = words_a | words_b  # union of the two wavefronts' masks
 
     grid = (r // tile_r,)
-    ray_spec = pl.BlockSpec((tile_r,), lambda i, m: (i,),
+    ray_spec = pl.BlockSpec((tile_r,), lambda i, m, ma, mb: (i,),
                             memory_space=pltpu.VMEM)
     out_specs = [ray_spec] * 3
     out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32),
@@ -805,12 +820,13 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
                  jax.ShapeDtypeStruct((r,), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,  # union mask + per-wavefront masks
         grid=grid,
         in_specs=[ray_spec] * 13 + [
-            pl.BlockSpec((f, FPACK_COLS), lambda i, m: (0, 0),
+            pl.BlockSpec((f, FPACK_COLS),
+                         lambda i, m, ma, mb: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, 8), lambda i, m: (0, 0),
+            pl.BlockSpec((f, 8), lambda i, m, ma, mb: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -823,7 +839,7 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(mask, *planes, act, fpack, dc)
+    )(mask, words_a, words_b, *planes, act, fpack, dc)
 
     t, face, occ = [o[:nrays] for o in outs]
     gb = expand_tf_gbuffer(scene, t, face, dx, dy, dz,
