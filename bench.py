@@ -21,6 +21,8 @@ bench_configs.py (config 3).
 
 import dataclasses as dc
 import json
+import os
+import subprocess
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
@@ -28,7 +30,46 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 import numpy as np
 
 
+def preflight_backend(timeout_s: float = 120.0) -> str:
+    """Probe the JAX backend in a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel can wedge in a way that hangs any in-process
+    ``jax.devices()`` call forever (round-3 outage: the driver bench
+    burned its one shot on a dead tunnel and recorded a 4k traceback).
+    A bounded subprocess probe turns that into one parseable JSON line
+    so BENCH_r* artifacts distinguish "outage" from "regression".
+
+    Returns the backend name on success; emits a structured error line
+    and exits nonzero on outage/timeout.
+    """
+    probe = ("import jax; print('BACKEND=' + jax.default_backend());"
+             " print('NDEV=%d' % len(jax.devices()))")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            timeout=timeout_s, cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "frame_ms_1080p_suzanne_dense_shadows",
+            "value": None, "unit": "ms/frame", "vs_baseline": None,
+            "error": "tpu backend unavailable: device probe timed out "
+                     f"after {timeout_s:.0f}s (axon tunnel down/wedged)"}))
+        sys.exit(2)
+    if out.returncode != 0:
+        tail = (out.stderr or out.stdout).strip().splitlines()[-1:]
+        print(json.dumps({
+            "metric": "frame_ms_1080p_suzanne_dense_shadows",
+            "value": None, "unit": "ms/frame", "vs_baseline": None,
+            "error": "backend init failed: " + (tail[0] if tail else "?")}))
+        sys.exit(2)
+    for line in out.stdout.splitlines():
+        if line.startswith("BACKEND="):
+            return line.split("=", 1)[1]
+    return "unknown"
+
+
 def main():
+    backend = preflight_backend()
     import jax
 
     from rust_wgpu_raytracing_tpu.config import CameraConfig, reference_scene

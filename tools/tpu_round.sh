@@ -1,0 +1,23 @@
+#!/bin/bash
+# One-shot TPU validation + measurement once the tunnel is back
+# (launched automatically by tools/tpu_poll.sh):
+# 1. parity gate (oracle vs Mosaic on-chip, all accel modes) ->
+#    PARITY_TPU.json at the repo root, regenerated at HEAD
+# 2. every BASELINE config in a FRESH process (long in-process runs
+#    showed 1.7x interference; see memory/README) -> BENCH_CONFIGS_r4.jsonl
+# 3. headline bench.py (the driver-visible dense metric)
+# 4. dense-view + shadow-reorder profiling probes for headline tuning
+cd /root/repo
+set -x
+timeout 3000 python tools/tpu_parity_gate.py > /tmp/gate_r4.out 2>&1
+echo "gate exit: $?"
+: > /tmp/bench_configs_r4.raw
+for c in 1 2 3 4 5 6 7 8; do
+  timeout 1200 python bench_configs.py "$c" > "/tmp/bc_${c}.out" 2>&1
+  grep '^{' "/tmp/bc_${c}.out" >> /tmp/bench_configs_r4.raw
+done
+grep '^{' /tmp/bench_configs_r4.raw > BENCH_CONFIGS_r4.jsonl || true
+timeout 1200 python bench.py > /tmp/bench_head.out 2>&1
+timeout 900 python tools/prof_reorder.py > /tmp/prof_reorder.out 2>&1
+timeout 900 python tools/prof_dense3.py > /tmp/prof_dense3.out 2>&1
+echo TPUROUNDDONE
