@@ -202,7 +202,10 @@ def perray_super_any(slo, shi, ox, oy, oz, dx, dy, dz, tile_r: int,
                            jnp.where(inside, F32_INF, -F32_INF), fa)
             tn = jnp.maximum(tn, na)
             tf = jnp.minimum(tf, fa)
-        ok = (tf * (1.0 + 1e-5) + 1e-6) >= (tn * (1.0 - 1e-5) - 1e-6)
+        # Sign-aware anti-cull inflation (~100 ulp + additive floor):
+        # tf * (1+1e-5) would shrink a NEGATIVE far-exit instead of
+        # inflating it, turning the safety margin pro-cull there.
+        ok = (tf + jnp.abs(tf) * 1e-5 + 1e-6) >= (tn * (1.0 - 1e-5) - 1e-6)
         if act is not None:
             ok = ok & act[:, None]
         cols.append(jnp.any(ok.reshape(n_tiles, tile_r, c1 - c0),

@@ -93,6 +93,9 @@ class FrameLoop:
         req, self._resize_req = self._resize_req, None
         if req is not None and req != (self.renderer.width,
                                        self.renderer.height):
+            # Drop the in-flight frame: it was rendered at the OLD
+            # resolution and must not be presented after the resize.
+            self._inflight = None
             self.renderer.resize(*req)
         while True:
             try:
@@ -106,8 +109,9 @@ class FrameLoop:
         self._drain_events()
         self.renderer.update()
         t0 = time.perf_counter()
+        color = None  # this step's framebuffer; stays None on a skipped frame
         try:
-            self.renderer.render()
+            color, _ = self.renderer.render()
         except Exception as err:
             kind = classify_render_error(err)
             if kind == "oom":
@@ -124,10 +128,11 @@ class FrameLoop:
                 # Lost/Outdated analogue: rebuild size-dependent state and
                 # retry once (lib.rs:1341-1342); if the retry also fails,
                 # re-raise the ORIGINAL error, not the retry's
+                self._inflight = None  # dispatched pre-reset: don't present
                 self.renderer.resize(self.renderer.width,
                                      self.renderer.height)
                 try:
-                    self.renderer.render()
+                    color, _ = self.renderer.render()
                 except Exception:
                     self.running = False
                     raise err
@@ -142,10 +147,11 @@ class FrameLoop:
         # output.present() has no such latency to hide, src/lib.rs:1227).
         # One frame of presentation latency; run()/flush() drain the
         # final in-flight frame so every rendered frame is presented.
+        # A skipped frame (timeout) leaves color=None: the in-flight
+        # frame is presented but NOT re-enqueued (no double present).
         img = None
         if self.pipeline:
-            prev, self._inflight = self._inflight, \
-                getattr(self.renderer, "_last", (None,))[0]
+            prev, self._inflight = self._inflight, color
             if prev is not None:
                 img = self.renderer.present_image(color=prev)
         else:

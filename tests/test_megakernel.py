@@ -241,3 +241,25 @@ class TestTiledOrder:
         diff = np.abs(np.asarray(co) - np.asarray(cm)) * 255.0
         assert diff.max() <= 1.5, f"max u8 diff {diff.max()}"
         np.testing.assert_allclose(np.asarray(do), np.asarray(dm), atol=1e-6)
+
+
+class TestPickTileShape:
+    def test_squarest_kept_at_standard_sizes(self):
+        """The measured 1080p winner (32x32 tiles) must be preserved."""
+        from rust_wgpu_raytracing_tpu.ops.megakernel import _pick_tile_shape
+
+        assert _pick_tile_shape(1920, 1080) == (32, 32, 1088)
+        assert _pick_tile_shape(960, 540) == (32, 32, 544)
+        assert _pick_tile_shape(128, 128) == (32, 32, 128)
+
+    def test_small_row_slab_avoids_padding_blowup(self):
+        """An 8-row dp slab must not pad to 32 rows (4x traced work in
+        the path tracer — round-3 advisor finding)."""
+        from rust_wgpu_raytracing_tpu.ops.megakernel import _pick_tile_shape
+
+        th, tw, hpad = _pick_tile_shape(1920, 8)
+        assert hpad == 8 and (th, tw) == (8, 128)
+        # ...and a height no tiling serves cheaply falls back to untiled
+        assert _pick_tile_shape(1920, 2) is None
+        # indivisible widths keep the untiled fallback
+        assert _pick_tile_shape(200, 200) is None
