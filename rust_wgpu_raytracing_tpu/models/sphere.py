@@ -10,8 +10,10 @@ XLA is the pipeline compiler).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SphereConfig
 from ..ops.composite import to_nonlinear_depth
@@ -25,6 +27,25 @@ class Sphere:
     def new(radius: float, center) -> "Sphere":
         """Mirrors Sphere::new(device, radius, center) (sphere.rs:18)."""
         return Sphere(SphereConfig(center=tuple(center), radius=radius))
+
+    @staticmethod
+    def soa(spheres: Sequence[SphereConfig]) -> Tuple[np.ndarray, ...]:
+        """Configs -> the sphere block of the scene SoA: the analogue of
+        Sphere::new packing {center, radius} + shading coefficients into
+        its uniform buffer (sphere.rs:18-96, compute.wgsl's SphereData).
+        Scene.build calls this — the model layer OWNS its primitive's
+        config->SoA assembly. Returns float32 (center (S,3), radius (S,),
+        color (S,3), [ambient,diffuse,specular] (S,3), light_dir (S,3))."""
+        center = np.array([s.center for s in spheres],
+                          np.float32).reshape(-1, 3)
+        radius = np.array([s.radius for s in spheres], np.float32)
+        color = np.array([s.color for s in spheres],
+                         np.float32).reshape(-1, 3)
+        coeff = np.array([[s.ambient, s.diffuse, s.specular]
+                          for s in spheres], np.float32).reshape(-1, 3)
+        light = np.array([s.light_direction for s in spheres],
+                         np.float32).reshape(-1, 3)
+        return center, radius, color, coeff, light
 
     def intersect(self, origin, dx, dy, dz):
         """Planar analytic intersection (sphere/compute.wgsl:63-85).
