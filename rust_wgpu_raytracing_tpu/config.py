@@ -112,6 +112,11 @@ class RenderConfig:
     # Quantize the framebuffer to rgba8 like the reference's rgba8unorm
     # storage texture (sphere/compute.wgsl:2); tests compare at u8.
     quantize_rgba8: bool = True
+    # Trilinear mip-chain minification (EXTENSION; megakernel backend
+    # only). Off by default: the reference forces mip level 0 via
+    # textureSampleGrad(..., 0, 0) (triangle_list/compute.wgsl:225), so
+    # parity rendering must too. See ops/miptex.py.
+    mip: bool = False
     # Path tracing (BASELINE config 4): 0 = off (Blinn-Phong primary rays).
     pt_bounces: int = 0
     pt_spp: int = 64

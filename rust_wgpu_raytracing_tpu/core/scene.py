@@ -30,7 +30,7 @@ import jax
 import numpy as np
 
 from ..config import SceneConfig, resolve_asset
-from ..io.obj import ObjMaterial, load_obj
+from ..io.obj import ObjMaterial
 from ..io.textures import TextureData, load_texture_file, solid_texture
 
 # Pad face count to a multiple of this so tiles map cleanly onto the VPU/MXU.
@@ -128,6 +128,37 @@ def _stream_pack_np(padded: int, n, d, g, c, inv_denom, uv3, vn3,
     pack[:f, SC_DC] = d
     pack[:f, SC_DC + 1:SC_DC + 4] = c
     return pack
+
+
+def _face_uvscale(n: np.ndarray, uv3: np.ndarray) -> np.ndarray:
+    """(F,) uv-per-world-unit density sqrt(uv_area / world_area): the
+    per-face static factor of the ray-cone mip footprint (ops/miptex.py).
+    n = unnormalized geometric normal (|n| = 2 * world area); uv areas
+    from the 2D cross of the uv edge deltas. Degenerate faces -> 0."""
+    duv1 = uv3[:, 1] - uv3[:, 0]
+    duv2 = uv3[:, 2] - uv3[:, 0]
+    det = np.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    nlen = np.linalg.norm(n, axis=1)
+    return np.sqrt(np.where(nlen > 1e-30, det / np.maximum(nlen, 1e-30),
+                            0.0)).astype(np.float32)
+
+
+def _mip_chain(img: np.ndarray):
+    """Linear-light box-filter pyramid [level0, level1, ...] down to
+    1x1. Odd sizes edge-replicate one row/col before the 2x2 mean
+    (clamp-to-edge-consistent)."""
+    levels = [img.astype(np.float32)]
+    cur = levels[0]
+    while cur.shape[0] > 1 or cur.shape[1] > 1:
+        if cur.shape[0] % 2:
+            cur = np.concatenate([cur, cur[-1:]], axis=0)
+        if cur.shape[1] % 2:
+            cur = np.concatenate([cur, cur[:, -1:]], axis=1)
+        h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+        cur = cur.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3),
+                                                dtype=np.float32)
+        levels.append(cur)
+    return levels
 
 
 def _gpack_np(spack: np.ndarray) -> np.ndarray:
@@ -228,6 +259,23 @@ class SceneData:
     tri_bitangent: jax.Array  # (F,3) f32
     mat_bump: jax.Array  # (M,) i32 bump texture index, -1 = none
 
+    # --- mip chains (EXTENSION, off by default — the reference forces
+    # mip 0 via textureSampleGrad(..., 0, 0),
+    # triangle_list/compute.wgsl:225). A SEPARATE packed pool holding
+    # the full pyramid (level 0 included) so the parity path's
+    # tex_packed stays byte-identical; ops/miptex.py samples it with a
+    # ray-cone LOD. Tables are (M, mip_levels), rows padded by
+    # repeating the texture's last real level (clamping deep LODs).
+    tex_mips: jax.Array = None  # (12, Nm) u16 pyramid pool
+    mat_mip_base: jax.Array = None  # (M, L) i32
+    mat_mip_h: jax.Array = None  # (M, L) f32
+    mat_mip_w: jax.Array = None  # (M, L) f32
+    # per-face uv-per-world-unit density sqrt(uv_area / world_area) —
+    # the static half of the ray-cone footprint (ops/miptex.py).
+    # Device-refit instancing recomputes it in-jit from the refit
+    # normals (exact under any affine transform, ops/instances.py).
+    tri_uvscale: jax.Array = None  # (F,) f32
+
     # (F, STREAM_COLS) f32 HOST-precomputed streaming face record for
     # scenes past STREAM_FACES; (0, STREAM_COLS) otherwise (the kernels
     # fall back to building it in-jit). Precomputing in numpy matters:
@@ -244,6 +292,9 @@ class SceneData:
     num_faces: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_spheres: int = dataclasses.field(metadata=dict(static=True), default=0)
     bvh_nodes: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # total pyramid levels (incl. level 0) in the mip tables; 0 when no
+    # pyramid was built (meshless scenes)
+    mip_levels: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def padded_faces(self) -> int:
@@ -254,7 +305,8 @@ jax.tree_util.register_dataclass(
     SceneData,
     data_fields=[f.name for f in dataclasses.fields(SceneData)
                  if not f.metadata.get("static")],
-    meta_fields=["num_faces", "num_spheres", "bvh_nodes"],
+    meta_fields=[f.name for f in dataclasses.fields(SceneData)
+                 if f.metadata.get("static")],
 )
 
 
@@ -318,15 +370,17 @@ class Scene:
     def build(config: SceneConfig) -> "Scene":
         import jax.numpy as jnp
 
+        # L2 model layer (lazy import: models/* import this module).
+        # Each primitive model owns its config->SoA assembly, as the
+        # reference's Sphere/TriangleList own their buffer inits
+        # (sphere.rs:18-96, triangle_list.rs:79-226); Scene.build owns
+        # only the cross-model soup concat + device layout.
+        from ..models.sphere import Sphere
+        from ..models.triangle_list import TriangleList
+
         # ---- spheres ----
         spheres = config.spheres
-        s_center = np.array([s.center for s in spheres], dtype=np.float32).reshape(-1, 3)
-        s_radius = np.array([s.radius for s in spheres], dtype=np.float32)
-        s_color = np.array([s.color for s in spheres], dtype=np.float32).reshape(-1, 3)
-        s_coeff = np.array([[s.ambient, s.diffuse, s.specular] for s in spheres],
-                           dtype=np.float32).reshape(-1, 3)
-        s_light = np.array([s.light_direction for s in spheres],
-                           dtype=np.float32).reshape(-1, 3)
+        s_center, s_radius, s_color, s_coeff, s_light = Sphere.soa(spheres)
 
         # ---- meshes -> one soup ----
         all_pos: List[np.ndarray] = []
@@ -340,30 +394,13 @@ class Scene:
         vert_off = 0
 
         for mesh_cfg in config.meshes:
-            if mesh_cfg.obj_path == "builtin:cube":
-                # procedural asset — keeps tests/dryruns standalone
-                from ..io.obj import make_cube
-                meshes = [make_cube()]
-                mats = [ObjMaterial(name="builtin", ambient=(0.05,) * 3,
-                                    diffuse=(0.8,) * 3, specular=(0.2,) * 3)]
-            elif mesh_cfg.obj_path.startswith("builtin:terrain"):
-                # "builtin:terrain" or "builtin:terrain:<grid_n>" — the
-                # large-scene stress asset (512 -> 522k faces)
-                from ..io.obj import make_terrain
-                parts = mesh_cfg.obj_path.split(":")
-                grid_n = int(parts[2]) if len(parts) > 2 else 512
-                meshes = [make_terrain(grid_n)]
-                mats = [ObjMaterial(name="builtin", ambient=(0.05,) * 3,
-                                    diffuse=(0.8,) * 3, specular=(0.2,) * 3)]
-            else:
-                path = resolve_asset(mesh_cfg.obj_path)
-                meshes, mats = load_obj(path)
+            model = TriangleList(mesh_cfg)
+            meshes, mats = model.load()
             mat_off = len(materials)
             materials.extend(mats)
             mat_light.extend([mesh_cfg.light_direction] * len(mats))
             for m in meshes:
-                pos = m.positions * np.float32(mesh_cfg.scale) + np.asarray(
-                    mesh_cfg.translation, dtype=np.float32)
+                pos = model.world_positions(m)
                 all_pos.append(pos)
                 all_uv.append(m.uvs)
                 all_nrm.append(m.normals)
@@ -416,6 +453,7 @@ class Scene:
 
             (p0, n, d, g, c, inv_denom, uv3, vn3, tangent,
              bitangent) = _precompute_faces(positions, uvs, normals, faces)
+            uvscale = _face_uvscale(n, uv3)
             cull = (SMALL_CULL_BLOCK if num_faces <= SMALL_CLUSTER_FACES
                     else CULL_BLOCK)
             blk_lo, blk_hi = cluster_aabbs(
@@ -463,6 +501,7 @@ class Scene:
             vn3 = np.zeros((0, 3, 3), np.float32)
             tangent = np.zeros((0, 3), np.float32)
             bitangent = np.zeros((0, 3), np.float32)
+            uvscale = np.zeros((0,), np.float32)
             orig_ids = np.zeros((0,), np.int32)
             nb = padded // CULL_BLOCK
             blk_lo = np.full((nb, 3), np.inf, np.float32)
@@ -513,11 +552,11 @@ class Scene:
             tex_stack[i, : t.height, : t.width] = t.rgb_linear
             tex_hw[i] = (t.height, t.width)
 
-        def pack_neighborhoods(t: TextureData) -> np.ndarray:
+        def pack_neighborhoods(rgb_linear: np.ndarray) -> np.ndarray:
             """(h*w, 12) u16: each texel's clamped 2x2 neighborhood."""
-            lin16 = np.clip(t.rgb_linear * 65535.0 + 0.5, 0,
+            lin16 = np.clip(rgb_linear * 65535.0 + 0.5, 0,
                             65535).astype(np.uint16)
-            h, w = t.height, t.width
+            h, w = rgb_linear.shape[:2]
             yy1 = np.minimum(np.arange(h) + 1, h - 1)
             xx1 = np.minimum(np.arange(w) + 1, w - 1)
             out = np.zeros((h, w, 12), np.uint16)
@@ -534,7 +573,7 @@ class Scene:
             for t_id in tex_ids:
                 t = textures[t_id]
                 base[t_id] = off
-                chunks.append(pack_neighborhoods(t))
+                chunks.append(pack_neighborhoods(t.rgb_linear))
                 off += t.height * t.width
             pool = (np.concatenate(chunks, axis=0) if chunks
                     else np.zeros((1, 12), np.uint16))
@@ -544,6 +583,35 @@ class Scene:
         bump_ids = sorted(set(b for b in mat_bump if b >= 0))
         pool_d, base_d = build_pool(diffuse_ids)
         pool_b, base_b = build_pool(bump_ids)
+
+        # ---- mip pyramid pool (extension; sampled by ops/miptex.py).
+        # Level 0 is DUPLICATED into this pool so the mip path samples
+        # one pool with one table and the parity pool stays untouched.
+        mip_chains = {t_id: _mip_chain(textures[t_id].rgb_linear)
+                      for t_id in diffuse_ids}
+        mip_levels = max((len(c) for c in mip_chains.values()), default=0)
+        mip_base: dict = {}
+        mip_chunks = []
+        moff = 0
+        for t_id in diffuse_ids:
+            for lv, img in enumerate(mip_chains[t_id]):
+                mip_base[(t_id, lv)] = (moff, img.shape[0], img.shape[1])
+                mip_chunks.append(pack_neighborhoods(img))
+                moff += img.shape[0] * img.shape[1]
+        mip_pool = (np.ascontiguousarray(
+            np.concatenate(mip_chunks, axis=0).T) if mip_chunks
+            else np.zeros((12, 1), np.uint16))
+        n_mat = len(materials)
+        m_mip_base = np.zeros((n_mat, max(mip_levels, 1)), np.int32)
+        m_mip_h = np.ones((n_mat, max(mip_levels, 1)), np.float32)
+        m_mip_w = np.ones((n_mat, max(mip_levels, 1)), np.float32)
+        for mi, t_id in enumerate(mat_tex):
+            last = len(mip_chains[t_id]) - 1
+            for lv in range(max(mip_levels, 1)):
+                b, h, w = mip_base[(t_id, min(lv, last))]
+                m_mip_base[mi, lv] = b
+                m_mip_h[mi, lv] = h
+                m_mip_w[mi, lv] = w
 
         # i32 base offsets: exact at any pool size (f32 loses integers
         # past 2^24 texels — see ops/megakernel.py _mat_const)
@@ -604,10 +672,16 @@ class Scene:
             tri_tangent=jnp.asarray(_pad_rows(tangent, padded)),
             tri_bitangent=jnp.asarray(_pad_rows(bitangent, padded)),
             mat_bump=jnp.asarray(np.array(mat_bump, np.int32)),
+            tex_mips=jnp.asarray(mip_pool),
+            mat_mip_base=jnp.asarray(m_mip_base),
+            mat_mip_h=jnp.asarray(m_mip_h),
+            mat_mip_w=jnp.asarray(m_mip_w),
+            tri_uvscale=jnp.asarray(_pad_rows(uvscale, padded)),
             spack=jnp.asarray(spack_np),
             gpack=jnp.asarray(gpack_np),
             num_faces=num_faces,
             num_spheres=len(spheres),
             bvh_nodes=bvh_nodes,
+            mip_levels=mip_levels,
         )
         return Scene(config=config, data=data, mesh_names=mesh_names)

@@ -203,8 +203,19 @@ def _instantiate_jit(template, base_pos, base_faces, base_uv3, base_vn3,
             return out / jnp.where(l > 1e-12, l, 1.0)
 
         orig = jnp.arange(nf, dtype=jnp.int32)
+        # uv density for the mip path: uv areas are transform-invariant,
+        # world area = |refit N|/2 — exact under ANY affine refit
+        uv3_tiled = jnp.tile(base_uv3, (n, 1, 1))
+        duv1 = uv3_tiled[:, 1] - uv3_tiled[:, 0]
+        duv2 = uv3_tiled[:, 2] - uv3_tiled[:, 0]
+        uvdet = jnp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+        nlen = jnp.linalg.norm(nrm, axis=1)
+        uvscale = jnp.sqrt(jnp.where(nlen > 1e-30,
+                                     uvdet / jnp.maximum(nlen, 1e-30),
+                                     0.0)) * valid
         sd = dataclasses.replace(
             template,
+            tri_uvscale=uvscale,
             tri_tangent=rot_dirs(base_tan),
             tri_bitangent=rot_dirs(base_bit),
             tri_p0=p0,

@@ -2268,14 +2268,28 @@ def tiled_to_image(plane, width, height, tile_h: int = 8,
 def _pick_tile_shape(width: int, height: int):
     """Squarest 1024-ray screen tile the frame admits: tile_w must
     divide width; rows are padded to a tile_h multiple (then cropped),
-    so tile_h is free. Returns (tile_h, tile_w, padded_height) or None
-    (fall back to untiled scanline order)."""
-    for tile_w in (32, 64, 128):
+    so tile_h is free. Prefers the squarest tile (tightest cull cones —
+    the measured 1080p winner) unless its row padding exceeds height/8,
+    in which case the least-padded tiling wins: small row slabs
+    (multi-chip dp sharding, e.g. an 8-row pathtrace slab) would
+    otherwise trace up to 4x padded rows through every bounce/spp.
+    Returns (tile_h, tile_w, padded_height) or None (untiled scanline
+    order — also chosen when every tiling would more than double the
+    rows)."""
+    cands = []
+    for tile_w in (32, 64, 128):  # squarest first
         if width % tile_w == 0:
             tile_h = TILE_R // tile_w
             h_pad = -(-height // tile_h) * tile_h
-            return tile_h, tile_w, h_pad
-    return None
+            cands.append((tile_h, tile_w, h_pad))
+    if not cands:
+        return None
+    choice = cands[0]
+    if (choice[2] - height) * 8 > height:
+        choice = min(cands, key=lambda c: c[2])  # stable: ties stay squarest
+    if choice[2] > 2 * height:
+        return None
+    return choice
 
 
 def _norm3(x, y, z):
@@ -2481,14 +2495,14 @@ def _mat_const(scene: SceneData, mat_f32, getter):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "near", "far", "background", "shadows", "quantize",
-    "normal_mapping", "accel", "interpret", "total_height", "fused"))
+    "normal_mapping", "accel", "interpret", "total_height", "fused", "mip"))
 def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
                       near: float = 0.01, far: float = 100.0,
                       background=(0.0, 0.0, 0.0), shadows: bool = False,
                       quantize: bool = True, normal_mapping: bool = False,
                       accel: str = "cull", interpret: bool = False,
                       row0=None, total_height: Optional[int] = None,
-                      fused: Optional[bool] = None):
+                      fused: Optional[bool] = None, mip: bool = False):
     """One frame, fully fused under one jit: planar raygen -> sphere
     passes -> Pallas G-buffer -> one-gather texture shade -> composite.
     The reference's whole render() pass DAG (src/lib.rs:1012-1230)
@@ -2517,7 +2531,8 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     if fused is None:
         fused = False
     if fused:
-        assert eligible, "fused frame needs a VMEM-resident mesh, no nm"
+        assert eligible and not mip, \
+            "fused frame needs a VMEM-resident mesh, no nm, no mip"
         from .fusedframe import render_frame_fused
 
         return render_frame_fused(
@@ -2605,9 +2620,12 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     # --- sphere passes, in config order (src/lib.rs:1106-1148) ---
     if sph_out is not None:
         # fused winner: per-ray constants resolve by sphere id (M-way
-        # select, like _mat_const), then ONE Blinn-Phong + composite —
-        # bit-identical to the sequential passes (the kernel picked the
-        # winner by the same strict nonlinear-depth rule)
+        # select, like _mat_const), then ONE Blinn-Phong + composite.
+        # Same strict nonlinear-depth selection RULE as the sequential
+        # passes, but Pallas and XLA compile in different contexts (FMA
+        # contraction differs), so a last-ulp t/d difference can flip a
+        # near-tie between overlapping spheres; frame-level parity is
+        # gated at u8 exactness (test_fused_sphere_winner), not bitwise.
         st, sid, nx, ny, nz = sph_out
         hit = jnp.isfinite(st)
 
@@ -2729,12 +2747,27 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         spc_g = _mat_const(scene, gb.mat, lambda k: scene.mat_specular[k, 1])
         spc_b = _mat_const(scene, gb.mat, lambda k: scene.mat_specular[k, 2])
 
-        taps, fxw, fyw = gather_packed_taps(scene.tex_packed, tex_base,
-                                            hw_h, hw_w, tex_u, tex_v)
-        pr, pg, pb = _texshade_pallas(taps, fxw, fyw, lam, spec,
-                                      amb_r, amb_g, amb_b,
-                                      spc_r, spc_g, spc_b,
-                                      interpret=interpret)
+        if mip and scene.mip_levels > 0:
+            # trilinear minification (EXTENSION, off by default; the
+            # reference forces mip 0 — compute.wgsl:225). Plain-XLA
+            # shade: the mip path trades the fused texshade kernel for
+            # two pyramid taps; parity path below is untouched.
+            from .miptex import ray_cone_lod, sample_mip_trilinear
+
+            row_w = shape[1] if tiled else width
+            lod = ray_cone_lod(scene, gb, dx, dy, dz, row_w)
+            tr_, tg_, tb_ = sample_mip_trilinear(
+                scene, gb.mat, lod, tex_u, tex_v, interpret=interpret)
+            pr = amb_r + tr_ * lam + spc_r * spec
+            pg = amb_g + tg_ * lam + spc_g * spec
+            pb = amb_b + tb_ * lam + spc_b * spec
+        else:
+            taps, fxw, fyw = gather_packed_taps(scene.tex_packed, tex_base,
+                                                hw_h, hw_w, tex_u, tex_v)
+            pr, pg, pb = _texshade_pallas(taps, fxw, fyw, lam, spec,
+                                          amb_r, amb_g, amb_b,
+                                          spc_r, spc_g, spc_b,
+                                          interpret=interpret)
         extra = None
         if shadows:
             extra = [amb_r, amb_g, amb_b, gb.t, nx, ny, nz,

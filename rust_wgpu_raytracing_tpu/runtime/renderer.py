@@ -114,7 +114,7 @@ class Renderer:
             from ..ops.megakernel import render_megakernel
 
             self._frame_fn = lambda scene, uni: render_megakernel(
-                scene, uni, accel=rc.accel,
+                scene, uni, accel=rc.accel, mip=rc.mip,
                 interpret=interactive_interpret, **kwargs)
         else:
             raise ValueError(f"unknown backend {self.backend!r}")
