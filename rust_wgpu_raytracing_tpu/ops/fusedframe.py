@@ -380,27 +380,50 @@ def _make_frame_kernel(ns: int, nmat: int, nb: int, block_f: int,
         act = _Vec(relf)
         r1 = lambda v: v.reshape(1, -1)
 
-        def cl_step(c, carry):
-            # bound shrinks as rays occlude; -1 once a ray needs no
-            # more testing -> doubles as the all-occluded early exit
+        # bound shrinks as rays occlude; -1 once a ray needs no more
+        # testing -> doubles as the all-occluded early exit. The
+        # cross-lane max is the expensive part (a vector->scalar sync
+        # per evaluation; at 16 clusters x 2040 tiles it was the bulk
+        # of the fused frame's measured 21.9-vs-18.0 ms shadow deficit)
+        # so it is recomputed once per REFRESH-cluster GROUP and held
+        # stale inside the group — a stale bound reflects an OLDER (no
+        # more occluded) state, so it is >= the fresh bound and only
+        # ADMITS extra clusters; _ah_block merges are idempotent
+        # max-accumulates, so output is bit-identical (same staleness
+        # argument as megakernel._ordered_cluster_loop's refresh).
+        refresh = 4
+        ngrp = -(-nb // refresh)
+
+        def grp_step(gi, carry):
             need = jnp.where((relf > 0.0) & (occ_ref[:] < 1.0),
                              stexit, -1.0)
             bound = jnp.max(need)
-            o_ = blk0 + 6 * c
-            admit, t0c = slab_scalar(
-                const_ref[o_], const_ref[o_ + 1], const_ref[o_ + 2],
-                const_ref[o_ + 3], const_ref[o_ + 4], const_ref[o_ + 5])
 
-            @pl.when(jnp.logical_and(admit, t0c <= bound))
-            def _():
-                base = pl.multiple_of(c * block_f, block_f)
-                g = fpack_ref[pl.ds(base, block_f), :]
-                dcv = dc_ref[pl.ds(base, block_f), :]
-                _ah_block(g, dcv, r1(sdx), r1(sdy), r1(sdz),
-                          r1(px), r1(py), r1(pz), act, occ_ref)
+            def cl_step(ci, carry2):
+                c = gi * refresh + ci
+                # clamp the SMEM read for the (skipped) tail clusters of
+                # a ragged last group; the pl.when below gates the visit
+                o_ = blk0 + 6 * jnp.minimum(c, nb - 1)
+                admit, t0c = slab_scalar(
+                    const_ref[o_], const_ref[o_ + 1], const_ref[o_ + 2],
+                    const_ref[o_ + 3], const_ref[o_ + 4],
+                    const_ref[o_ + 5])
+
+                @pl.when(jnp.logical_and(c < nb,
+                                         jnp.logical_and(admit,
+                                                         t0c <= bound)))
+                def _():
+                    base = pl.multiple_of(c * block_f, block_f)
+                    g = fpack_ref[pl.ds(base, block_f), :]
+                    dcv = dc_ref[pl.ds(base, block_f), :]
+                    _ah_block(g, dcv, r1(sdx), r1(sdy), r1(sdz),
+                              r1(px), r1(py), r1(pz), act, occ_ref)
+                return carry2
+
+            jax.lax.fori_loop(0, refresh, cl_step, 0)
             return carry
 
-        jax.lax.fori_loop(0, nb, cl_step, 0)
+        jax.lax.fori_loop(0, ngrp, grp_step, 0)
 
     return kernel
 

@@ -72,6 +72,9 @@ ok &= lower("vmem extend_shadow (PT fused)",
 ok &= lower("vmem CH bvh accel", lambda s, o, a, b, c:
             mk.gbuffer_pallas(s, o, a, b, c, accel="bvh").t,
             sd2, uo2.origin, dx2, dy2, dz2)
+ok &= lower("fused frame+shadows", lambda s, u:
+            mk.render_megakernel(s, u, width=128, height=128,
+                                 shadows=True, fused=True)[0], sd2, uni2)
 
 # instanced refit (bench config 5's jit program: device-side refit +
 # in-jit gpack refresh + render)

@@ -20,4 +20,5 @@ grep '^{' /tmp/bench_configs_r4.raw > BENCH_CONFIGS_r4.jsonl || true
 timeout 1200 python bench.py > /tmp/bench_head.out 2>&1
 timeout 900 python tools/prof_reorder.py > /tmp/prof_reorder.out 2>&1
 timeout 900 python tools/prof_dense3.py > /tmp/prof_dense3.out 2>&1
+timeout 900 python tools/prof_dense4.py > /tmp/prof_dense4.out 2>&1
 echo TPUROUNDDONE
