@@ -21,4 +21,6 @@ timeout 1200 python bench.py > /tmp/bench_head.out 2>&1
 timeout 900 python tools/prof_reorder.py > /tmp/prof_reorder.out 2>&1
 timeout 900 python tools/prof_dense3.py > /tmp/prof_dense3.out 2>&1
 timeout 900 python tools/prof_dense4.py > /tmp/prof_dense4.out 2>&1
+timeout 1800 python tools/prof_pt.py > /tmp/prof_pt.out 2>&1
+timeout 900 python tools/prof_fused.py > /tmp/prof_fused.out 2>&1
 echo TPUROUNDDONE
