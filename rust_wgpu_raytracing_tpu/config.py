@@ -117,6 +117,13 @@ class RenderConfig:
     # textureSampleGrad(..., 0, 0) (triangle_list/compute.wgsl:225), so
     # parity rendering must too. See ops/miptex.py.
     mip: bool = False
+    # Frame-program variant (megakernel backend): "split" = Pallas
+    # closest-hit sweep + XLA shade + Pallas shadow any-hit; "fused" =
+    # the whole geometric frame in ONE Pallas kernel (ops/fusedframe.py;
+    # needs a VMEM-resident mesh, no normal mapping / mip). Both are
+    # bit-identical (tested) — "auto" times each over a few frames on
+    # first render and locks the faster one for this device/scene.
+    variant: str = "split"
     # Path tracing (BASELINE config 4): 0 = off (Blinn-Phong primary rays).
     pt_bounces: int = 0
     pt_spp: int = 64

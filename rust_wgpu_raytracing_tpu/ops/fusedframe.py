@@ -139,6 +139,7 @@ def _make_frame_kernel(ns: int, nmat: int, nb: int, block_f: int,
     sph0 = _C_SPH
     mat0 = _C_SPH + _SPH_STRIDE * ns
     blk0 = mat0 + _MAT_STRIDE * nmat  # cluster AABBs: nb x 6
+    shord0 = blk0 + 6 * nb  # shadow-loop cluster order (nb f32 ids)
 
     def kernel(tlb_ref, order_ref, const_ref, dx_ref, dy_ref, dz_ref,
                texit_ref, fpack_ref, oterm_ref, dc_ref,
@@ -400,16 +401,26 @@ def _make_frame_kernel(ns: int, nmat: int, nb: int, block_f: int,
             bound = jnp.max(need)
 
             def cl_step(ci, carry2):
-                c = gi * refresh + ci
-                # clamp the SMEM read for the (skipped) tail clusters of
-                # a ragged last group; the pl.when below gates the visit
-                o_ = blk0 + 6 * jnp.minimum(c, nb - 1)
+                seq = gi * refresh + ci
+                # clamp the SMEM reads for the (skipped) tail clusters of
+                # a ragged last group; the pl.when below gates the visit.
+                # Clusters are visited in the STATIC near-to-far order
+                # along the scene's light direction (host-sorted into
+                # the const vector) so occluders are met — and the
+                # shrinking bound prunes far clusters — as early as
+                # possible; any order is bit-identical (occ is an OR,
+                # and the bound argument is order-independent: a cluster
+                # entered after every needy ray's root exit can never
+                # occlude).
+                c = const_ref[shord0 + jnp.minimum(seq, nb - 1)] \
+                    .astype(jnp.int32)
+                o_ = blk0 + 6 * c
                 admit, t0c = slab_scalar(
                     const_ref[o_], const_ref[o_ + 1], const_ref[o_ + 2],
                     const_ref[o_ + 3], const_ref[o_ + 4],
                     const_ref[o_ + 5])
 
-                @pl.when(jnp.logical_and(c < nb,
+                @pl.when(jnp.logical_and(seq < nb,
                                          jnp.logical_and(admit,
                                                          t0c <= bound)))
                 def _():
@@ -501,6 +512,16 @@ def render_frame_fused(scene: SceneData, uni_flat, *, width: int,
         parts.append(sph.reshape(-1))
     parts.append(scene.mat_light.reshape(-1))
     parts.append(jnp.concatenate([blo, bhi], axis=1).reshape(-1))
+    # static near-to-far cluster order for the in-kernel shadow loop:
+    # shadow rays share one direction (toward mat-0's light), so
+    # ascending AABB-center projection onto it is a per-scene visit
+    # order that meets occluders early (order is perf-only; see kernel)
+    ld = scene.mat_light[0]
+    ln = jnp.sqrt(jnp.sum(ld * ld))
+    sdir = -ld / jnp.where(ln > 0, ln, 1.0)
+    proj = jnp.sum((blo + bhi) * 0.5 * sdir[None, :], axis=1)
+    proj = jnp.where(jnp.isfinite(proj), proj, F32_INF)  # empty last
+    parts.append(jnp.argsort(proj).astype(jnp.float32))
     const = jnp.concatenate(parts)
 
     grid = (r // tile_r,)

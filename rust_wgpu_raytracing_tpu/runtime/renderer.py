@@ -41,6 +41,9 @@ class Renderer:
         self.width = config.render.width
         self.height = config.render.height
         self._frame_fn = None
+        # frame-program variant bookkeeping (RenderConfig.variant)
+        self.variant_chosen: Optional[str] = None
+        self.variant_ms: Optional[dict] = None
         self._build_frame_fn()
         # perf counters (metrics subsystem the reference lacks; SURVEY §5.5)
         self.frame_count = 0
@@ -111,11 +114,46 @@ class Renderer:
 
             self._frame_fn = lambda scene, uni: render_oracle(scene, uni, **kwargs)
         elif self.backend == "megakernel":
-            from ..ops.megakernel import render_megakernel
+            from ..ops.megakernel import STREAM_FACES, render_megakernel
 
-            self._frame_fn = lambda scene, uni: render_megakernel(
-                scene, uni, accel=rc.accel, mip=rc.mip,
-                interpret=interactive_interpret, **kwargs)
+            def mk(fused):
+                return lambda scene, uni: render_megakernel(
+                    scene, uni, accel=rc.accel, mip=rc.mip,
+                    interpret=interactive_interpret, fused=fused,
+                    **kwargs)
+
+            variant = getattr(rc, "variant", "split")
+            if variant not in ("split", "fused", "auto"):
+                raise ValueError(f"unknown frame variant {variant!r}")
+            if variant == "auto":
+                # two bit-identical frame programs exist (split / fused,
+                # see RenderConfig.variant); which is faster depends on
+                # the device and scene. Eligibility first (the fused
+                # kernel needs a VMEM-resident mesh, no mip) — then the
+                # first render() times both and locks the winner.
+                sd = self.scene.data
+                if not (sd.num_faces > 0 and not rc.mip
+                        and sd.tri_p0.shape[0] <= STREAM_FACES):
+                    variant = "split"
+            if variant != "auto":
+                self.variant_chosen = variant
+                self._frame_fn = mk(variant == "fused")
+            else:
+                fns = {"split": mk(False), "fused": mk(True)}
+
+                def autotune(scene, uni):
+                    from .profiler import time_frames
+
+                    self.variant_ms = {
+                        name: time_frames(lambda: fn(scene, uni),
+                                          n=3, warmup=1)
+                        for name, fn in fns.items()}
+                    self.variant_chosen = min(self.variant_ms,
+                                              key=self.variant_ms.get)
+                    self._frame_fn = fns[self.variant_chosen]
+                    return self._frame_fn(scene, uni)
+
+                self._frame_fn = autotune
         else:
             raise ValueError(f"unknown backend {self.backend!r}")
 

@@ -332,3 +332,57 @@ class TestCheckpointPath:
         assert os.path.exists(p)
         r2 = load_checkpoint(p)
         assert r2.frame_count == r.frame_count
+
+
+class TestFrameVariant:
+    """RenderConfig.variant: split/fused explicit + auto-tuned selection
+    (both frame programs are bit-identical — ops/fusedframe.py)."""
+
+    needs_assets = pytest.mark.skipif(
+        not os.path.isdir("/root/reference/res"),
+        reason="reference assets not mounted")
+
+    def _mesh_cfg(self, **render_kw):
+        from rust_wgpu_raytracing_tpu.config import reference_scene
+        import dataclasses as dc
+
+        cfg = reference_scene(32, 32, shadows=True)
+        return dc.replace(cfg, render=dc.replace(cfg.render, **render_kw))
+
+    @needs_assets
+    def test_auto_variant_locks_winner_and_matches_split(self):
+        cfg = self._mesh_cfg(variant="auto")
+        r = Renderer(cfg, backend="megakernel")
+        c_auto, d_auto = r.render()
+        assert r.variant_chosen in ("split", "fused")
+        assert set(r.variant_ms) == {"split", "fused"}
+        # locked: subsequent renders skip the autotune closure
+        fn_after = r._frame_fn
+        r.render()
+        assert r._frame_fn is fn_after
+
+        rs = Renderer(self._mesh_cfg(variant="split"),
+                      backend="megakernel")
+        c_split, d_split = rs.render()
+        np.testing.assert_array_equal(np.asarray(c_auto),
+                                      np.asarray(c_split))
+        np.testing.assert_array_equal(np.asarray(d_auto),
+                                      np.asarray(d_split))
+
+    def test_auto_falls_back_to_split_when_ineligible(self):
+        # sphere-only scene: the fused kernel needs a mesh
+        r = tiny_renderer(variant="auto")
+        assert r.backend == "oracle"  # CPU default backend is oracle
+        cfg = SceneConfig(
+            spheres=(SphereConfig(center=(0.0, 0.0, -3.0), radius=0.8),),
+            render=RenderConfig(width=32, height=32, variant="auto"))
+        rm = Renderer(cfg, backend="megakernel")
+        assert rm.variant_chosen == "split"
+        rm.render()
+
+    def test_unknown_variant_rejected(self):
+        cfg = SceneConfig(
+            spheres=(SphereConfig(center=(0.0, 0.0, -3.0), radius=0.8),),
+            render=RenderConfig(width=32, height=32, variant="best"))
+        with pytest.raises(ValueError, match="variant"):
+            Renderer(cfg, backend="megakernel")
