@@ -52,12 +52,16 @@ def gate_case(name, cfg, results, accel_modes=("cull",), **render_kw):
     kw = dict(width=rc.width, height=rc.height, shadows=rc.shadows,
               **render_kw)
 
+    # megakernel-only knobs (e.g. fused) never reach the oracle
+    mk_only = {k: kw.pop(k) for k in ("fused",) if k in kw}
+
     t0 = time.time()
     ref = u8(render_oracle(scene.data, uni, **kw)[0])
     imgs = {}
     for accel in accel_modes:
         imgs[accel] = u8(render_megakernel(scene.data, uni, accel=accel,
-                                           interpret=False, **kw)[0])
+                                           interpret=False, **kw,
+                                           **mk_only)[0])
     elapsed = time.time() - t0
 
     base = imgs[accel_modes[0]]
@@ -111,6 +115,15 @@ def main():
         render=RenderConfig(width=256, height=256))
     ok &= gate_case("cube_normal_mapping_256", cfg, results,
                     normal_mapping=True)
+
+    # fused single-kernel frame (ops/fusedframe.py): spheres + sweep +
+    # in-kernel shadow loop + compositing in ONE Mosaic program — a
+    # different compile context than the split path, so it gets its own
+    # oracle gate (round-4 RenderConfig.variant makes it selectable)
+    cfg = reference_scene(256, 256, shadows=True)
+    cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
+    ok &= gate_case("reference_shadows_fused_256", cfg, results,
+                    fused=True)
 
     # big scene: HBM streaming kernels + LBVH walk mask on Mosaic
     cfg = SceneConfig(
