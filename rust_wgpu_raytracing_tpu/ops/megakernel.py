@@ -1133,6 +1133,10 @@ def _stream_scratch(acc_tile_r=None, n_acc=2, nsub=None):
 # 2 output) planes ~24 KB/subtile beside the two 512 KB stream slots
 # and the (32, tile_r) accumulators). Env-overridable for sweeps.
 STREAM_BATCH = int(__import__("os").environ.get("RT_STREAM_BATCH", "8"))
+# opt-in per-ray word-mask refinement for the streamed ANY-HIT (see
+# anyhit_pallas; probe + decision rule in tools/probe_ah_gap.py)
+AH_PERRAY_MASK = bool(int(__import__("os").environ.get("RT_AH_PERRAY",
+                                                       "0")))
 
 
 def _stream_mask_spec(mask, n_tiles, nwords, tile_r, nsub):
@@ -2038,6 +2042,21 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
         nsub = STREAM_BATCH
         grid = (r // (tile_r * nsub),)
         spack = _stream_pack(scene)
+        if AH_PERRAY_MASK:
+            # EXACT per-ray union word refinement, as the streamed CH
+            # path does unconditionally. For shadow wavefronts (ONE
+            # direction, Morton-compact origins) the measured admit gap
+            # is only 1.32x at word granularity with a comparable-cost
+            # O(R x S) mask pass (tools/probe_ah_gap.py: 423.5 -> 320.0
+            # clusters/tile, fetches 1.43x) — a wash candidate, so OFF
+            # by default pending the on-chip A/B (tools/tpu_round.sh).
+            # Output is identical either way: the refinement only clears
+            # words no live ray's forward line can touch.
+            _, _, slo, shi = _super_aabbs(scene, n_super)
+            sup_ok = perray_super_any(slo, shi, oxp, oyp, ozp,
+                                      dxp, dyp, dzp, tile_r,
+                                      act=(act > 0))
+            mask = jnp.where(sup_ok.reshape(-1), mask, 0)
         mask_spec, ray_spec_s, mask3 = _stream_mask_spec(
             mask, r // tile_r, nwords, tile_r, nsub)
         tlb3, order2, texit = _stream_sched(

@@ -253,6 +253,39 @@ class TestStreaming:
         assert np.asarray(ov).any()  # something occludes
         np.testing.assert_array_equal(np.asarray(ov), np.asarray(os_))
 
+    def test_stream_anyhit_perray_mask_identical(self, monkeypatch):
+        """RT_AH_PERRAY word refinement is output-identical: it only
+        clears mask words no live ray's forward line can touch (a
+        conservative-superset shrink; tools/probe_ah_gap.py has the
+        perf decision rule)."""
+        import jax
+
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+
+        cfg, s = terrain_scene(23)
+        uni = CameraUniforms.unflat(uni_for(cfg, 128, 128))
+        dx, dy, dz = raygen_planar(128, 128, uni)
+        r = dx.shape[0]
+        ox = jnp.full((r,), float(uni.origin[0]))
+        oy = jnp.full((r,), float(uni.origin[1]))
+        oz = jnp.full((r,), float(uni.origin[2]))
+        # mixed live/parked lanes exercise the act-aware refinement
+        act = (jnp.arange(r) % 3) != 0
+        dxa = jnp.where(act, dx, 0.0)
+        dya = jnp.where(act, dy, 0.0)
+        dza = jnp.where(act, dz, 0.0)
+        base = anyhit_pallas(s.data, ox, oy, oz, dxa, dya, dza, act,
+                             interpret=True, stream=True)
+        monkeypatch.setattr(mk, "AH_PERRAY_MASK", True)
+        jax.clear_caches()  # the flag is read at trace time
+        try:
+            ref = anyhit_pallas(s.data, ox, oy, oz, dxa, dya, dza, act,
+                                interpret=True, stream=True)
+        finally:
+            jax.clear_caches()  # don't leak the flagged trace
+        assert np.asarray(base).any()
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(ref))
+
     def test_forced_stream_perray_gbuffer_parity(self):
         """Per-ray-origin (bounce) closest hit: the slim streamed kernel
         + post-sweep attribute gather must equal the all-VMEM fat

@@ -18,6 +18,10 @@ for c in 1 2 3 4 5 6 7 8; do
 done
 grep '^{' /tmp/bench_configs_r4.raw > BENCH_CONFIGS_r4.jsonl || true
 timeout 1200 python bench.py > /tmp/bench_head.out 2>&1
+# A/B: per-ray word refinement for the streamed shadow any-hit
+# (default off; decision rule in tools/probe_ah_gap.py)
+RT_AH_PERRAY=1 timeout 2400 python bench_configs.py 6 7 \
+  > /tmp/bc_67_perray.out 2>&1
 timeout 900 python tools/prof_reorder.py > /tmp/prof_reorder.out 2>&1
 timeout 900 python tools/prof_dense3.py > /tmp/prof_dense3.out 2>&1
 timeout 900 python tools/prof_dense4.py > /tmp/prof_dense4.out 2>&1
