@@ -334,6 +334,40 @@ class TestCheckpointPath:
         assert r2.frame_count == r.frame_count
 
 
+class TestCLI:
+    """python -m rust_wgpu_raytracing_tpu — the reference binary's
+    analogue (/root/reference/src/main.rs:3-5)."""
+
+    def test_headless_renders_and_saves(self, tmp_path):
+        from rust_wgpu_raytracing_tpu.__main__ import main
+
+        out = tmp_path / "frame.png"
+        rc = main(["--scene", "cube", "--shell", "headless",
+                   "--frames", "2", "--width", "64", "--height", "64",
+                   "--backend", "oracle", "--out", str(out)])
+        assert rc == 0 and out.exists() and out.stat().st_size > 100
+
+    def test_scene_json_round_trip(self, tmp_path):
+        from rust_wgpu_raytracing_tpu.__main__ import load_scene_config
+        from rust_wgpu_raytracing_tpu.config import cube_scene
+
+        p = tmp_path / "scene.json"
+        p.write_text(cube_scene(32, 32).to_json())
+        ns = type("A", (), dict(scene=str(p), width=48, height=48,
+                                shadows=True, accel="bvh", variant=None))
+        cfg = load_scene_config(ns)
+        assert cfg.render.width == 48 and cfg.render.shadows
+        assert cfg.render.accel == "bvh"
+
+    def test_bad_shell_rejected(self):
+        import pytest as _pytest
+
+        from rust_wgpu_raytracing_tpu.__main__ import build_parser
+
+        with _pytest.raises(SystemExit):
+            build_parser().parse_args(["--shell", "teapot"])
+
+
 class TestFrameVariant:
     """RenderConfig.variant: split/fused explicit + auto-tuned selection
     (both frame programs are bit-identical — ops/fusedframe.py)."""
