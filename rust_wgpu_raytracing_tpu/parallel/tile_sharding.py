@@ -150,11 +150,14 @@ def render_sharded(scene: SceneData, uni_flat, mesh: Mesh, *, width: int,
 def render_sharded_megakernel(scene: SceneData, uni_flat, mesh: Mesh, *,
                               width: int, height: int, shadows: bool = False,
                               quantize: bool = True,
-                              interpret: Optional[bool] = None):
+                              interpret: Optional[bool] = None,
+                              fused: Optional[bool] = None):
     """Multi-chip frame on the FAST path: each device runs the full
     Pallas megakernel frame on its row slab (scene replicated, zero
     inter-chip traffic until the framebuffer gather). Returns a
-    replicated (H, W, 3) framebuffer."""
+    replicated (H, W, 3) framebuffer. fused selects the frame program
+    per RenderConfig.variant semantics (the fused single-kernel frame
+    takes the same row0/total_height slab viewport)."""
     import jax as _jax
 
     from ..ops.megakernel import render_megakernel
@@ -171,7 +174,7 @@ def render_sharded_megakernel(scene: SceneData, uni_flat, mesh: Mesh, *,
         c, _ = render_megakernel(
             scene_rep, uni_rep, width=width, height=rows, shadows=shadows,
             quantize=quantize, interpret=interpret, row0=row0,
-            total_height=height)
+            total_height=height, fused=fused)
         return c[None]
 
     fn = shard_map(shard_fn, mesh=mesh,

@@ -102,6 +102,27 @@ class TestShardedMegakernel:
         np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                    atol=2e-5)
 
+    def test_fused_variant_matches_split_sharded(self):
+        """The fused single-kernel frame takes the same row-slab
+        viewport (row0/total_height), so dp sharding composes with
+        RenderConfig.variant='fused' — rows are pure per-device work,
+        identical to the sharded split program."""
+        from rust_wgpu_raytracing_tpu.parallel.tile_sharding import (
+            render_sharded_megakernel)
+
+        scene, cfg = small_scene()
+        cam = Camera.from_config(cfg.camera, aspect=2.0)
+        uni = cam.uniforms().flat()
+        mesh = make_render_mesh(8, sp=1)
+        split = render_sharded_megakernel(scene.data, uni, mesh,
+                                          width=64, height=32,
+                                          shadows=True)
+        fused = render_sharded_megakernel(scene.data, uni, mesh,
+                                          width=64, height=32,
+                                          shadows=True, fused=True)
+        np.testing.assert_array_equal(np.asarray(split),
+                                      np.asarray(fused))
+
 
 @needs_8dev
 class TestShardedPathtrace:
