@@ -323,10 +323,13 @@ def dryrun_multichip(n_devices: int) -> None:
     color = render_sharded(scene.data, uni, mesh, width=W, height=H, spp=1)
     assert color.shape == (H, W, 3)
 
-    # sharded forward frame (Pallas megakernel path)
+    # sharded forward frame (Pallas megakernel path, both frame programs)
     color_mk = render_sharded_megakernel(scene.data, uni, mesh,
                                          width=W, height=H)
     assert color_mk.shape == (H, W, 3)
+    color_fu = render_sharded_megakernel(scene.data, uni, mesh,
+                                         width=W, height=H, fused=True)
+    assert color_fu.shape == (H, W, 3)
 
     # sharded path-tracing step (dp rows x sp samples, psum'd radiance)
     color_pt = render_pathtrace_sharded(
