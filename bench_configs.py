@@ -235,6 +235,57 @@ def main():
                                            interpret=interp),
                   w8, h8, n=2, rays_factor=8.0)
 
+    if _want("9"):
+        # LBVH build time — a BASELINE.md "metrics to report" item. The
+        # builder is host-side C++ (native/rtnative.cpp::lbvh_build),
+        # Karras radix tree over Morton-sorted 32-face cluster leaves;
+        # device-independent, reported alongside the frame metrics.
+        import time as _time
+
+        import numpy as np
+
+        from rust_wgpu_raytracing_tpu.ops.bvh import build_lbvh
+
+        def _expand(v):
+            v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+            v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+            v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+            v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+            return v
+
+        for n_terr, tag in ((512, "522k"), (1024, "2M")):
+            cfgb = SceneConfig(
+                meshes=(MeshConfig(obj_path=f"builtin:terrain:{n_terr}",
+                                   translation=(0.0, 0.0, -3.0)),),
+                render=RenderConfig(width=64, height=64))
+            sb = Scene.build(cfgb).data
+            lo = np.asarray(sb.blk_lo)
+            hi = np.asarray(sb.blk_hi)
+            fin = np.isfinite(lo).all(1) & np.isfinite(hi).all(1)
+            lo, hi = lo[fin], hi[fin]
+            c = (lo + hi) * 0.5
+            el, eh = c.min(0), c.max(0)
+            q = np.clip((c - el) / np.maximum(eh - el, 1e-12) * 1023.0,
+                        0, 1023).astype(np.uint32)
+            codes = ((_expand(q[:, 0]) << 2) | (_expand(q[:, 1]) << 1)
+                     | _expand(q[:, 2]))
+            order = np.argsort(codes, kind="stable")
+            codes = codes[order].copy()
+            lo, hi = lo[order].copy(), hi[order].copy()
+            best = min(_timed(build_lbvh, codes, lo, hi, _time)
+                       for _ in range(3))
+            print(json.dumps({
+                "config": f"9_lbvh_build_{tag}",
+                "build_ms": round(best, 2),
+                "cluster_leaves": int(len(codes)),
+                "faces": int(sb.num_faces)}))
+
+
+def _timed(fn, codes, lo, hi, _time):
+    t0 = _time.perf_counter()
+    fn(codes, lo, hi)
+    return (_time.perf_counter() - t0) * 1e3
+
 
 if __name__ == "__main__":
     main()

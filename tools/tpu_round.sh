@@ -12,7 +12,7 @@ set -x
 timeout 3000 python tools/tpu_parity_gate.py > /tmp/gate_r4.out 2>&1
 echo "gate exit: $?"
 : > /tmp/bench_configs_r4.raw
-for c in 1 2 3 4 5 6 7 8; do
+for c in 1 2 3 4 5 6 7 8 9; do
   timeout 1200 python bench_configs.py "$c" > "/tmp/bc_${c}.out" 2>&1
   grep '^{' "/tmp/bc_${c}.out" >> /tmp/bench_configs_r4.raw
 done
