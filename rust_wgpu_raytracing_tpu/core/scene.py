@@ -164,9 +164,37 @@ def _mip_chain(img: np.ndarray):
 def _gpack_np(spack: np.ndarray) -> np.ndarray:
     """Host build of the (GPACK_ROWS, F) winner-attribute table from the
     full streaming record (spack col layout: _stream_pack_np). Row
-    order must match the GP_* constants."""
+    order must match the GP_* constants. Kept as the layout spec /
+    test oracle; Scene.build uses _gpack_sources_np (same values
+    without routing 37 strided reads through the 128-col record)."""
     assert len(GPACK_SRC_COLS) == GPACK_ROWS
     return np.ascontiguousarray(spack[:, GPACK_SRC_COLS].T)
+
+
+def _gpack_sources_np(padded: int, n, g, c, inv_denom, uv3, vn3,
+                      face_mat, tangent, bitangent) -> np.ndarray:
+    """(GPACK_ROWS, padded) winner-attribute table straight from the
+    planar source arrays — value-identical to
+    _gpack_np(_stream_pack_np(...)) (tested), one sequential read per
+    source instead of 37 strided passes over the (F, 128) record, and
+    no record at all for sub-streaming scenes (which discard it)."""
+    f = n.shape[0]
+    out = np.zeros((GPACK_ROWS, padded), np.float32)
+    nlen = np.linalg.norm(n, axis=1, keepdims=True)
+    un = np.where(nlen > 0, n / np.maximum(nlen, 1e-30), 0.0)
+    out[GP_INVD, :f] = inv_denom
+    out[GP_UN:GP_UN + 3, :f] = un.T
+    out[GP_UV:GP_UV + 6, :f] = uv3.reshape(f, 6).T
+    out[GP_MAT, :f] = face_mat.astype(np.float32)
+    out[GP_VN:GP_VN + 9, :f] = vn3.reshape(f, 9).T
+    out[GP_TAN:GP_TAN + 3, :f] = tangent.T
+    out[GP_TAN + 3:GP_TAN + 6, :f] = bitangent.T
+    out[GP_N:GP_N + 3, :f] = n.T
+    out[GP_G1:GP_G1 + 3, :f] = g[:, 1, :].T
+    out[GP_G2:GP_G2 + 3, :f] = g[:, 2, :].T
+    out[GP_C1, :f] = c[:, 1]
+    out[GP_C2, :f] = c[:, 2]
+    return out
 
 
 @dataclass
@@ -482,12 +510,13 @@ class Scene:
             # gpack is ALWAYS host-precomputed (every closest-hit path
             # resolves the winner's attributes from it post-sweep);
             # the full streaming record ships only past streaming scale
-            full_pack = _stream_pack_np(padded, n, d, g, c, inv_denom,
-                                        uv3, vn3, face_mat, orig_ids,
-                                        tangent, bitangent)
-            gpack_np = _gpack_np(full_pack)
+            gpack_np = _gpack_sources_np(padded, n, g, c, inv_denom,
+                                         uv3, vn3, face_mat,
+                                         tangent, bitangent)
             if num_faces > STREAM_FACES:
-                spack_np = full_pack
+                spack_np = _stream_pack_np(padded, n, d, g, c, inv_denom,
+                                           uv3, vn3, face_mat, orig_ids,
+                                           tangent, bitangent)
             else:
                 spack_np = np.zeros((0, STREAM_COLS), np.float32)
         else:

@@ -188,3 +188,35 @@ def test_gpack_from_stream_covers_tail_partial_superblock():
         got = np.asarray(gpack_from_stream(jnp.asarray(spack)))
         want = spack[:, GPACK_SRC_COLS].T
         np.testing.assert_array_equal(got, want, err_msg=f"f={f}")
+
+
+def test_gpack_sources_matches_stream_record_derivation():
+    """Scene.build's direct gpack assembly (_gpack_sources_np) must be
+    value-identical to deriving it from the full streaming record
+    (_gpack_np(_stream_pack_np(...)) — the layout spec), padding rows
+    included."""
+    import numpy as np
+    from rust_wgpu_raytracing_tpu.core.scene import (_gpack_np,
+                                                     _gpack_sources_np,
+                                                     _stream_pack_np)
+
+    rng = np.random.default_rng(11)
+    f, padded = 777, 1024
+    n = rng.standard_normal((f, 3)).astype(np.float32)
+    n[5] = 0.0  # degenerate face: the un normalization guard
+    d = rng.standard_normal(f).astype(np.float32)
+    g = rng.standard_normal((f, 3, 3)).astype(np.float32)
+    c = rng.standard_normal((f, 3)).astype(np.float32)
+    inv_denom = rng.standard_normal(f).astype(np.float32)
+    uv3 = rng.standard_normal((f, 3, 2)).astype(np.float32)
+    vn3 = rng.standard_normal((f, 3, 3)).astype(np.float32)
+    face_mat = rng.integers(0, 4, f).astype(np.int32)
+    orig = np.arange(f, dtype=np.int32)
+    tan = rng.standard_normal((f, 3)).astype(np.float32)
+    bit = rng.standard_normal((f, 3)).astype(np.float32)
+
+    want = _gpack_np(_stream_pack_np(padded, n, d, g, c, inv_denom, uv3,
+                                     vn3, face_mat, orig, tan, bit))
+    got = _gpack_sources_np(padded, n, g, c, inv_denom, uv3, vn3,
+                            face_mat, tan, bit)
+    np.testing.assert_array_equal(got, want)
