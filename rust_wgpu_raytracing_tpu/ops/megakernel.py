@@ -46,9 +46,9 @@ from ..core.scene import (CULL_BLOCK,
 from .composite import to_nonlinear_depth
 from .intersect import HI, K_EPSILON, TriHit
 from .raygen import ndc_grid
-from .traverse import (perray_super_any, ray_root_exit,
-                       slab_interval_entry, slab_interval_ok,
-                       tile_ray_bounds)
+from .traverse import (perray_boxes_any, perray_super_any,
+                       ray_root_exit, slab_interval_entry,
+                       slab_interval_ok, tile_ray_bounds)
 from .traverse_pallas import hier_cull_fits, hier_cull_words
 
 INT_MISS = 2**31 - 1  # python scalars only: traced constants cannot be
@@ -1137,6 +1137,11 @@ STREAM_BATCH = int(__import__("os").environ.get("RT_STREAM_BATCH", "8"))
 # anyhit_pallas; probe + decision rule in tools/probe_ah_gap.py)
 AH_PERRAY_MASK = bool(int(__import__("os").environ.get("RT_AH_PERRAY",
                                                        "0")))
+# opt-in per-ray CLUSTER-bit refinement of the K fattest admitted mask
+# words per tile on the streamed bounce closest-hit (0 = off; see
+# _refine_topk_words; gap probe in tools/prof_cluster_gap.py, on-chip
+# A/B queued in tools/tpu_round.sh)
+PT_KREFINE = int(__import__("os").environ.get("RT_PT_KREFINE", "0"))
 
 
 def _stream_mask_spec(mask, n_tiles, nwords, tile_r, nsub):
@@ -1576,6 +1581,63 @@ def _super_aabbs(scene: SceneData, n_super: int):
     return blo, bhi, slo, shi
 
 
+def _refine_topk_words(scene: SceneData, mask, n_super: int,
+                       ox, oy, oz, dx, dy, dz, tile_r: int, k: int,
+                       act=None):
+    """EXACT per-ray refinement of the CLUSTER bits inside each tile's
+    K fattest admitted mask words (flat (T*S,) i32 in, same out).
+
+    After the word-level per-ray union (perray_super_any) the surviving
+    words' 32 cluster bits still come from the tile-INTERVAL cull,
+    whose direction box spans a full octant for bounce wavefronts —
+    tools/prof_cluster_gap.py measures the static slack left inside
+    those words. A bit survives here only if some live ray's forward
+    line intersects that cluster's own AABB, which is the exact
+    admission condition the sweep's block merge tests against faces —
+    so clearing the others is a conservative-superset shrink and the
+    frame stays bit-identical. Only the K words with the most set bits
+    per tile are tested (cost R x 32K slab tests, same order as the
+    word pass at K ~ 16); the rest keep their conservative bits, so
+    exactness never depends on K."""
+    n_tiles = dx.shape[0] // tile_r
+    k = min(k, n_super)
+    words = mask.reshape(n_tiles, n_super)
+    pop = jax.lax.population_count(words)
+    _, idx = jax.lax.top_k(pop, k)                      # (T, K)
+    cl = (idx[:, :, None] * CULL_BLOCK
+          + jnp.arange(CULL_BLOCK)[None, None, :]).reshape(n_tiles, -1)
+    blo, bhi, _, _ = _super_aabbs(scene, n_super)
+    # a word bit is a 32-FACE kernel cluster; scene.blk_* may be finer
+    # (SMALL_CULL_BLOCK scenes forced onto the streamed path) or
+    # coarser — regroup the AABBs to the word structure exactly like
+    # _regroup_mask regroups the cull mask, or the bit->box mapping
+    # tests the WRONG geometry and culls real hits
+    nb32 = n_super * CULL_BLOCK
+    nblk = blo.shape[0]
+    if nblk != nb32:
+        if nblk > nb32:   # finer cull clusters: union each group
+            assert nblk % nb32 == 0, (nblk, nb32)
+            blo = blo.reshape(nb32, -1, 3).min(axis=1)
+            bhi = bhi.reshape(nb32, -1, 3).max(axis=1)
+        else:             # coarser: every member bit shares the box
+            assert nb32 % nblk == 0, (nblk, nb32)
+            rep = nb32 // nblk
+            blo = jnp.repeat(blo, rep, axis=0)
+            bhi = jnp.repeat(bhi, rep, axis=0)
+    ok = perray_boxes_any(blo[cl], bhi[cl], ox, oy, oz, dx, dy, dz,
+                          tile_r, act=act)              # (T, K*32)
+    shift = jnp.arange(CULL_BLOCK, dtype=jnp.uint32)[None, None, :]
+    # the shifted bits are disjoint, so the sum IS the bitwise OR and
+    # cannot wrap uint32
+    refined = jnp.sum(
+        ok.reshape(n_tiles, k, CULL_BLOCK).astype(jnp.uint32) << shift,
+        axis=2, dtype=jnp.uint32)                       # (T, K)
+    old = jnp.take_along_axis(words, idx, axis=1)
+    new = (old.astype(jnp.uint32) & refined).astype(jnp.int32)
+    tix = jnp.arange(n_tiles)[:, None]
+    return words.at[tix, idx].set(new).reshape(-1)
+
+
 def _stream_sched(scene: SceneData, mask, ox, oy, oz, dx, dy, dz,
                   tile_r: int, nsub: int, n_super: int, act=None):
     """Front-to-back schedule for the streaming closest-hit kernels.
@@ -1943,6 +2005,14 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
         sup_ok = perray_super_any(slo, shi, oxp, oyp, ozp,
                                   dxp, dyp, dzp, tile_r, act=live)
         mask = jnp.where(sup_ok.reshape(-1), mask, 0)
+        if PT_KREFINE:
+            # second-stage exact per-ray union at CLUSTER granularity,
+            # limited to the K fattest surviving words per tile —
+            # clears interval-cull bits no ray's line can touch before
+            # the schedule is built (opt-in; tools/prof_cluster_gap.py)
+            mask = _refine_topk_words(scene, mask, n_super,
+                                      oxp, oyp, ozp, dxp, dyp, dzp,
+                                      tile_r, PT_KREFINE, act=live)
         mask_spec, ray_spec_s, mask3 = _stream_mask_spec(
             mask, r // tile_r, nwords, tile_r, nsub)
         tlb3, order2, texit = _stream_sched(

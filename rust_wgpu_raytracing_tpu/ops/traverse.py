@@ -213,6 +213,54 @@ def perray_super_any(slo, shi, ox, oy, oz, dx, dy, dz, tile_r: int,
     return jnp.concatenate(cols, axis=1)
 
 
+def perray_boxes_any(lo, hi, ox, oy, oz, dx, dy, dz, tile_r: int,
+                     act=None, chunk: int = 128):
+    """(T, C) bool EXACT per-ray union admission against PER-TILE box
+    sets: tile t admits box c iff SOME live ray of tile t has a
+    forward line (t >= 0) intersecting AABB (lo[t, c], hi[t, c]).
+
+    The per-tile-boxes sibling of perray_super_any: there every tile
+    tests the SAME global superblock table; here each tile tests its
+    own gathered set (the 32 cluster AABBs of its top-K admitted mask
+    words — see megakernel._refine_topk_words). lo/hi are (T, C, 3).
+    Same conservative sign-aware margins; same parked/padding
+    semantics (zero-direction rays self-cull, but PADDING lanes need
+    act). Empty/neutralized boxes (lo=+inf, hi=-inf, the _super_aabbs
+    padding convention) always fail the slab test."""
+    r = dx.shape[0]
+    n_tiles = r // tile_r
+    c = lo.shape[1]
+    o3 = [a.reshape(n_tiles, tile_r, 1) for a in (ox, oy, oz)]
+    d3 = [a.reshape(n_tiles, tile_r, 1) for a in (dx, dy, dz)]
+    act3 = None if act is None else act.reshape(n_tiles, tile_r, 1)
+    cols = []
+    for c0 in range(0, c, chunk):
+        c1 = min(c, c0 + chunk)
+        tn = jnp.zeros((n_tiles, tile_r, c1 - c0), jnp.float32)
+        tf = jnp.full((n_tiles, tile_r, c1 - c0), F32_INF, jnp.float32)
+        for a in range(3):
+            lo_a = lo[:, None, c0:c1, a].reshape(n_tiles, 1, c1 - c0)
+            hi_a = hi[:, None, c0:c1, a].reshape(n_tiles, 1, c1 - c0)
+            o_, d_ = o3[a], d3[a]
+            d_safe = jnp.where(d_ == 0.0, 1.0, d_)
+            ta = (lo_a - o_) / d_safe
+            tb = (hi_a - o_) / d_safe
+            na = jnp.minimum(ta, tb)
+            fa = jnp.maximum(ta, tb)
+            inside = (o_ >= lo_a) & (o_ <= hi_a)
+            na = jnp.where(d_ == 0.0,
+                           jnp.where(inside, 0.0, F32_INF), na)
+            fa = jnp.where(d_ == 0.0,
+                           jnp.where(inside, F32_INF, -F32_INF), fa)
+            tn = jnp.maximum(tn, na)
+            tf = jnp.minimum(tf, fa)
+        ok = (tf + jnp.abs(tf) * 1e-5 + 1e-6) >= (tn * (1.0 - 1e-5) - 1e-6)
+        if act3 is not None:
+            ok = ok & act3
+        cols.append(jnp.any(ok, axis=1))
+    return jnp.concatenate(cols, axis=1)
+
+
 def bvh_walk_mask_words(bvh_pack, n_nodes: int, omin, omax, dmin, dmax,
                         nwords: int):
     """Stackless skip-pointer LBVH walk -> packed cluster mask words.

@@ -286,6 +286,84 @@ class TestStreaming:
         assert np.asarray(base).any()
         np.testing.assert_array_equal(np.asarray(base), np.asarray(ref))
 
+    def test_perray_boxes_any_matches_super_any(self):
+        """perray_boxes_any with every tile given the SAME box table
+        must reproduce perray_super_any bit-for-bit (same slab math,
+        same conservative margins) — including zero-direction parked
+        rays and neutralized (lo=+inf, hi=-inf) padding boxes."""
+        from rust_wgpu_raytracing_tpu.ops.traverse import (
+            perray_boxes_any, perray_super_any)
+
+        rng = np.random.default_rng(11)
+        tile_r, n_tiles, c = 16, 4, 9
+        r = tile_r * n_tiles
+        o = [jnp.asarray(rng.uniform(-2, 2, r).astype(np.float32))
+             for _ in range(3)]
+        d = [jnp.asarray(rng.uniform(-1, 1, r).astype(np.float32))
+             for _ in range(3)]
+        # park some rays (zero direction) and mark some padding lanes
+        park = jnp.asarray(rng.uniform(size=r) < 0.25)
+        d = [jnp.where(park, 0.0, a) for a in d]
+        act = jnp.asarray(rng.uniform(size=r) < 0.9)
+        lo = rng.uniform(-2, 0, (c, 3)).astype(np.float32)
+        hi = lo + rng.uniform(0.1, 2, (c, 3)).astype(np.float32)
+        lo[-1], hi[-1] = np.inf, -np.inf  # a padding box
+        slo, shi = jnp.asarray(lo), jnp.asarray(hi)
+        ref = perray_super_any(slo, shi, *o, *d, tile_r, act=act,
+                               chunk=4)
+        got = perray_boxes_any(
+            jnp.broadcast_to(slo, (n_tiles, c, 3)),
+            jnp.broadcast_to(shi, (n_tiles, c, 3)),
+            *o, *d, tile_r, act=act, chunk=4)
+        assert np.asarray(ref).any() and not np.asarray(ref).all()
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_stream_gbuffer_krefine_identical(self, monkeypatch):
+        """RT_PT_KREFINE cluster-bit refinement is output-identical:
+        a cluster bit is cleared only when NO live ray's forward line
+        intersects that cluster's AABB, so no tested face intersection
+        can be lost (conservative-superset shrink, like the word-level
+        refinement above it)."""
+        import jax
+
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+        from rust_wgpu_raytracing_tpu.ops.megakernel import (
+            gbuffer_perray_pallas)
+
+        cfg, s = terrain_scene(23)
+        uni = CameraUniforms.unflat(uni_for(cfg, 128, 128))
+        dx, dy, dz = raygen_planar(128, 128, uni)
+        r = dx.shape[0]
+        rng = np.random.default_rng(13)
+        ox = jnp.asarray(uni.origin[0] + rng.uniform(-1, 1, r)
+                         .astype(np.float32))
+        oy = jnp.asarray(uni.origin[1] + rng.uniform(-1, 1, r)
+                         .astype(np.float32))
+        oz = jnp.asarray(uni.origin[2] + rng.uniform(-1, 1, r)
+                         .astype(np.float32))
+        # park a third of the lanes: the refinement must stay exact
+        # with act-gated tiles (parked rays self-cull in the slab test)
+        park = (jnp.arange(r) % 3) == 0
+        dxa = jnp.where(park, 0.0, dx)
+        dya = jnp.where(park, 0.0, dy)
+        dza = jnp.where(park, 0.0, dz)
+        base = gbuffer_perray_pallas(s.data, ox, oy, oz, dxa, dya, dza,
+                                     interpret=True, stream=True)
+        monkeypatch.setattr(mk, "PT_KREFINE", 2)
+        jax.clear_caches()  # the flag is read at trace time
+        try:
+            ref = gbuffer_perray_pallas(s.data, ox, oy, oz,
+                                        dxa, dya, dza,
+                                        interpret=True, stream=True)
+        finally:
+            jax.clear_caches()  # don't leak the flagged trace
+        assert np.isfinite(np.asarray(base.t)).any()
+        for name in ("t", "face", "u", "v", "nd", "uvx", "uvy",
+                     "nx", "ny", "nz", "mat"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, name)),
+                np.asarray(getattr(ref, name)), err_msg=name)
+
     def test_forced_stream_perray_gbuffer_parity(self):
         """Per-ray-origin (bounce) closest hit: the slim streamed kernel
         + post-sweep attribute gather must equal the all-VMEM fat
