@@ -1139,8 +1139,20 @@ AH_PERRAY_MASK = bool(int(__import__("os").environ.get("RT_AH_PERRAY",
                                                        "0")))
 # opt-in per-ray CLUSTER-bit refinement of the K fattest admitted mask
 # words per tile on the streamed bounce closest-hit (0 = off; see
-# _refine_topk_words; gap probe in tools/prof_cluster_gap.py, on-chip
-# A/B queued in tools/tpu_round.sh)
+# _refine_topk_words). PROBED CHIP-FREE as a likely dead end
+# (tools/prof_cluster_gap.py, config-8 bounce wavefront): the exact
+# per-ray ceiling is 4.9x fewer cluster visits (4.30M -> 0.88M), but
+# the slack is SPREAD over ~263 admitted words/tile, so top-K captures
+# only 1.03x (K=8) .. 1.24x (K=64); and it is pure per-ray DIRECTION
+# slack — ray-GROUP interval tests (G=8/32, prof_cluster_gap2.py) cull
+# exactly nothing, because cosine-sampled bounce directions are
+# independent and any group's direction interval spans the whole
+# octant. Capturing the 4.9x would need per-ray tests on ~all admitted
+# words (8.5G slab tests/wavefront — same order as the sweep itself)
+# or an in-kernel per-cluster box pre-test ahead of each block merge
+# (~1M lane-ops/word vs ~262k/visit merge, needs 2 cross-lane
+# reductions per (sub, word) to scalarize the refined bits) — the one
+# remaining frontier, only worth attempting against on-chip numbers.
 PT_KREFINE = int(__import__("os").environ.get("RT_PT_KREFINE", "0"))
 
 

@@ -23,10 +23,9 @@ timeout 1200 python bench.py > /tmp/bench_head.out 2>&1
 RT_AH_PERRAY=1 timeout 2400 python bench_configs.py 6 7 \
   > /tmp/bc_67_perray.out 2>&1
 # A/B: per-ray cluster-bit refinement of the top-K admitted words on
-# the streamed PT bounce closest-hit (default off; static gap measured
-# chip-free in tools/prof_cluster_gap.py)
-RT_PT_KREFINE=16 timeout 1200 python bench_configs.py 8 \
-  > /tmp/bc_8_k16.out 2>&1
+# the streamed PT bounce closest-hit. Chip-free probes say the static
+# capture is only ~1.2x at K=48 (tools/prof_cluster_gap.py /
+# _gap2.py), so ONE confirmation run; expect a wash.
 RT_PT_KREFINE=48 timeout 1200 python bench_configs.py 8 \
   > /tmp/bc_8_k48.out 2>&1
 timeout 900 python tools/prof_reorder.py > /tmp/prof_reorder.out 2>&1
