@@ -1,0 +1,169 @@
+"""Geometry-parallel (gp) rendering: the scene's FACE axis sharded
+across the device mesh — the tensor-parallel analogue for a ray
+tracer, where the scene (not a weight matrix) is what outgrows one
+chip.
+
+The reference is strictly single-GPU (one wgpu device owns every
+storage buffer, /root/reference/src/lib.rs:1012-1230); this module is
+TPU scale-out the scaling-book way: pick a mesh axis, shard the big
+operand over it, let the collectives ride ICI.
+
+How it stays BIT-IDENTICAL to the single-chip frame: faces are
+concatenated in pass order, and the frame's compositing rule is a
+lexicographic min over (nonlinear depth, face index) — strict-<
+against the running buffer (earlier face wins ties,
+triangle_list/compute.wgsl:198). Shards slice the face soup in
+ascending superblock order, so the global face order IS
+(chip, local face) lexicographic. Each chip renders its sub-scene
+with the UNCHANGED megakernel frame (spheres replicated — every chip
+resolves sphere-vs-local-mesh with the exact single-chip rule, and
+identical sphere pixels merge to themselves), then three collectives
+reproduce the global rule exactly:
+
+    dmin  = pmin(depth)                      over 'gp'
+    wchip = pmin(where(depth == dmin, gp_index, n))   # tie -> lowest
+    color = psum(where(win, color, 0))       # exactly one winner/pixel
+
+The psum is bitwise-exact: exactly one chip contributes a nonzero
+summand per pixel (depth ties across chips resolve to the lowest chip,
+matching "earliest face in the global order wins ties"; a per-face
+depth is computed on exactly one chip, so cross-chip float drift
+cannot exist). Misses carry depth 1.0 on every chip, so background
+pixels pick chip 0's background — the same RGB everywhere.
+
+Per-chip work drops ~linearly in the shard's face count (every chip
+still traces all rays — this axis buys scene SIZE and sweep time, not
+ray throughput; compose with 'dp' row slabs for both). Shadow passes
+need a second collective stage (merged wavefront -> local any-hit ->
+OR over 'gp') and are not wired yet: render_sharded_gp asserts
+shadows=False.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.scene import GPACK_ROWS, STREAM_COLS, SUPER_F, SceneData
+
+# every per-FACE-leading-axis field of SceneData (sliced over 'gp');
+# blk/spack/gpack have their own layouts and are handled explicitly
+FACE_FIELDS = ("tri_p0", "tri_n", "tri_d", "tri_g", "tri_c",
+               "tri_inv_denom", "tri_uv", "tri_vn", "tri_mat",
+               "tri_valid", "tri_orig", "tri_tangent", "tri_bitangent",
+               "tri_uvscale")
+
+
+def _pad_axis(x, n, axis=0, fill=0.0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths,
+                   constant_values=np.asarray(fill, x.dtype)[()])
+
+
+def shard_scene_faces(sd: SceneData, n: int) -> Tuple[dict, SceneData]:
+    """Split the face soup into n equal superblock-aligned shards.
+
+    Returns (stacked, rest): `stacked` maps field name -> array with a
+    leading (n,) shard axis (feed through shard_map with P('gp')),
+    `rest` is the SceneData with face-axis fields emptied (replicate
+    with P()). Shards are sliced at SUPER_F boundaries so every kernel
+    invariant holds per shard (f % 1024 == 0 covers FACE_PAD, the
+    cull-cluster granularity, and whole streaming superblocks); the
+    tail shard is padded with the scene's own padding conventions
+    (zero face rows -> |N.d| < eps rejects; +inf/-inf cluster AABBs ->
+    the slab test culls; tri_valid 0)."""
+    f = sd.padded_faces
+    assert f > 0, "geometry sharding needs a mesh"
+    per = max(SUPER_F, -(-f // (n * SUPER_F)) * SUPER_F)
+    tot = per * n
+
+    stacked = {}
+    for name in FACE_FIELDS:
+        x = getattr(sd, name)
+        stacked[name] = _pad_axis(x, tot).reshape((n, per) + x.shape[1:])
+
+    nblk = sd.blk_lo.shape[0]
+    g = f // nblk  # faces per cull cluster (8 small / 32 streaming)
+    assert per % g == 0, (per, g)
+    stacked["blk_lo"] = _pad_axis(sd.blk_lo, tot // g,
+                                  fill=jnp.inf).reshape(n, per // g, 3)
+    stacked["blk_hi"] = _pad_axis(sd.blk_hi, tot // g,
+                                  fill=-jnp.inf).reshape(n, per // g, 3)
+
+    if sd.spack is not None and sd.spack.shape[0]:
+        stacked["spack"] = _pad_axis(sd.spack, tot).reshape(
+            n, per, STREAM_COLS)
+    else:
+        stacked["spack"] = jnp.zeros((n, 0, STREAM_COLS), jnp.float32)
+    gp = _pad_axis(sd.gpack, tot, axis=1)  # (GPACK_ROWS, tot)
+    stacked["gpack"] = jnp.moveaxis(
+        gp.reshape(GPACK_ROWS, n, per), 1, 0)
+
+    empties = {name: getattr(sd, name)[:0] for name in FACE_FIELDS}
+    empties["blk_lo"] = sd.blk_lo[:0]
+    empties["blk_hi"] = sd.blk_hi[:0]
+    empties["spack"] = sd.spack[:0] if sd.spack is not None else None
+    empties["gpack"] = sd.gpack[:, :0] if sd.gpack is not None else None
+    rest = dataclasses.replace(
+        sd, num_faces=per, bvh_nodes=0,
+        bvh_pack=jnp.zeros((9, 1), jnp.float32), **empties)
+    return stacked, rest
+
+
+def make_gp_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("gp",))
+
+
+def render_sharded_gp(scene: SceneData, uni_flat, mesh: Mesh, *,
+                      width: int, height: int, shadows: bool = False,
+                      quantize: bool = True, accel: str = "cull",
+                      background=(0.0, 0.0, 0.0),
+                      interpret: Optional[bool] = None):
+    """One frame with the face soup sharded over the mesh's 'gp' axis.
+    Returns replicated (color (H, W, 3), depth (H, W)) — bit-identical
+    to single-chip render_megakernel (see module docstring; tested on
+    the 8-virtual-device CPU mesh)."""
+    assert not shadows, "gp shadows need the two-stage any-hit OR " \
+                        "(module docstring); compose with dp for now"
+    import jax as _jax
+
+    from ..ops.megakernel import render_megakernel
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    n = mesh.shape["gp"]
+    stacked, rest = shard_scene_faces(scene, n)
+
+    def shard_fn(face_loc, rest_rep, uni_rep):
+        local = dataclasses.replace(
+            rest_rep, **{k: v[0] for k, v in face_loc.items()})
+        color, depth = render_megakernel(
+            local, uni_rep, width=width, height=height,
+            shadows=False, quantize=quantize, accel=accel,
+            background=background, interpret=interpret)
+        gpi = jax.lax.axis_index("gp")
+        dmin = jax.lax.pmin(depth, "gp")
+        wchip = jax.lax.pmin(
+            jnp.where(depth == dmin, gpi, n).astype(jnp.int32), "gp")
+        win = (depth == dmin) & (gpi == wchip)
+        color = jax.lax.psum(jnp.where(win[..., None], color, 0.0), "gp")
+        return color, dmin
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("gp"), stacked),
+                  jax.tree.map(lambda _: P(), rest), P()),
+        out_specs=(P(), P()), check_vma=False)
+    return fn(stacked, rest, jnp.asarray(uni_flat, jnp.float32))

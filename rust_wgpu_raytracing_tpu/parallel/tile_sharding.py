@@ -339,6 +339,15 @@ def dryrun_multichip(n_devices: int) -> None:
     assert color_pt.shape == (H, W, 3)
     assert bool(jnp.all(jnp.isfinite(color_pt)))
 
+    # geometry-parallel frame (face soup sharded over 'gp', pmin/psum
+    # winner merge — parallel/geometry_sharding.py)
+    from .geometry_sharding import make_gp_mesh, render_sharded_gp
+    color_gp, depth_gp = render_sharded_gp(
+        scene.data, uni, make_gp_mesh(n_devices), width=W, height=H)
+    jax.block_until_ready(color_gp)
+    assert color_gp.shape == (H, W, 3)
+    assert depth_gp.shape == (H, W)
+
     # full training step: differentiable render + psum'd grads + update
     params = {
         "sphere_color": scene.data.sphere_color,

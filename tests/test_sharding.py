@@ -197,3 +197,52 @@ class TestShardedStreaming:
         assert np.isfinite(np.asarray(sharded)).all()
         np.testing.assert_allclose(np.asarray(sharded),
                                    np.asarray(single), atol=2e-5)
+
+
+@needs_8dev
+class TestGeometrySharded:
+    """gp axis: scene FACES sharded over the mesh (the TP analogue —
+    parallel/geometry_sharding.py). The composite's lexicographic
+    (depth, face) rule maps to (depth, chip) collectives, so the merged
+    frame must equal single-chip render_megakernel EXACTLY."""
+
+    def test_matches_single_chip_exact(self):
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+        from rust_wgpu_raytracing_tpu.parallel.geometry_sharding import (
+            make_gp_mesh, render_sharded_gp)
+
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="builtin:terrain:64",
+                               translation=(0.0, 0.0, -3.0)),),
+            camera=CameraConfig(eye=(0.0, -2.0, -1.0),
+                                target=(0.0, 0.0, -3.2)),
+            render=RenderConfig(width=64, height=64))
+        scene = Scene.build(cfg)
+        assert scene.data.padded_faces > 4 * 1024  # real multi-shard
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = cam.uniforms().flat()
+        single, sdepth = mk.render_megakernel(
+            scene.data, jnp.asarray(uni, jnp.float32),
+            width=64, height=64, interpret=True)
+        c, d = render_sharded_gp(scene.data, uni, make_gp_mesh(8),
+                                 width=64, height=64)
+        assert (np.asarray(d) < 1.0).any()  # something was hit
+        np.testing.assert_array_equal(np.asarray(single), np.asarray(c))
+        np.testing.assert_array_equal(np.asarray(sdepth), np.asarray(d))
+
+    def test_spheres_replicated_exact(self):
+        """Spheres ride every shard; sphere-vs-mesh ties and pure-sphere
+        pixels must still merge to the single-chip frame bitwise."""
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+        from rust_wgpu_raytracing_tpu.parallel.geometry_sharding import (
+            make_gp_mesh, render_sharded_gp)
+
+        scene, cfg = small_scene()
+        cam = Camera.from_config(cfg.camera, aspect=2.0)
+        uni = cam.uniforms().flat()
+        single, _ = mk.render_megakernel(
+            scene.data, jnp.asarray(uni, jnp.float32),
+            width=64, height=32, interpret=True)
+        c, d = render_sharded_gp(scene.data, uni, make_gp_mesh(8),
+                                 width=64, height=32)
+        np.testing.assert_array_equal(np.asarray(single), np.asarray(c))
