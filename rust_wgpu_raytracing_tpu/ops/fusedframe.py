@@ -596,9 +596,13 @@ def render_frame_fused(scene: SceneData, uni_flat, *, width: int,
     cb = jnp.where(mesh_sel, jnp.where(shadowed, amb_b, mb), cb)
 
     if quantize:
-        cr = jnp.floor(jnp.clip(cr, 0.0, 1.0) * 255.0 + 0.5) / 255.0
-        cg = jnp.floor(jnp.clip(cg, 0.0, 1.0) * 255.0 + 0.5) / 255.0
-        cb = jnp.floor(jnp.clip(cb, 0.0, 1.0) * 255.0 + 0.5) / 255.0
+        # the shared explicit-reciprocal quantize — bitwise-identical
+        # across every frame program (see shade.quantize_rgba8)
+        from .shade import quantize_rgba8
+
+        cr = quantize_rgba8(cr)
+        cg = quantize_rgba8(cg)
+        cb = quantize_rgba8(cb)
 
     if tiled:
         cr = tiled_to_image(cr, width, render_h, tile_h, tile_w)[:height]

@@ -2594,16 +2594,60 @@ def _mat_const(scene: SceneData, mat_f32, getter):
 # ---------------------------------------------------------------------------
 
 
+def _frame_shape(width, height, row0, total_height):
+    """The split frame's resolved ray ordering: (tile_h, tile_w,
+    render_h) screen tiling or None (scanline order). Sharded row
+    slabs must not render past their slab (see render_megakernel)."""
+    shape = _pick_tile_shape(width, height)
+    if shape is not None and row0 is not None and shape[2] != height:
+        shape = (8, 128, height) if height % 8 == 0 and \
+            width % 128 == 0 else None
+    return shape
+
+
+def present_planar(cr, cg, cb, depth, *, width, height, shape,
+                   quantize):
+    """Shared tail of the split frame: quantize + de-tile the planar
+    color/depth planes to ((H, W, 3), (H, W)). shape is the
+    _frame_shape tiling this frame rendered with.
+
+    Quantization routes through shade.quantize_rgba8 — the ONE
+    implementation every variant shares, with an explicit-reciprocal
+    dequantize so different compilation contexts cannot diverge by an
+    ulp (see its docstring; the gp-sharded frame promises bitwise
+    equality across program boundaries)."""
+    from .shade import quantize_rgba8
+
+    if quantize:
+        cr = quantize_rgba8(cr)
+        cg = quantize_rgba8(cg)
+        cb = quantize_rgba8(cb)
+    if shape is not None:
+        tile_h, tile_w, render_h = shape
+        cr = tiled_to_image(cr, width, render_h, tile_h, tile_w)[:height]
+        cg = tiled_to_image(cg, width, render_h, tile_h, tile_w)[:height]
+        cb = tiled_to_image(cb, width, render_h, tile_h, tile_w)[:height]
+        depth = tiled_to_image(depth, width, render_h,
+                               tile_h, tile_w)[:height]
+        return jnp.stack([cr, cg, cb], axis=-1), depth
+    color = jnp.stack(
+        [cr.reshape(height, width), cg.reshape(height, width),
+         cb.reshape(height, width)], axis=-1)
+    return color, depth.reshape(height, width)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "near", "far", "background", "shadows", "quantize",
-    "normal_mapping", "accel", "interpret", "total_height", "fused", "mip"))
+    "normal_mapping", "accel", "interpret", "total_height", "fused", "mip",
+    "emit_shadow_planes"))
 def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
                       near: float = 0.01, far: float = 100.0,
                       background=(0.0, 0.0, 0.0), shadows: bool = False,
                       quantize: bool = True, normal_mapping: bool = False,
                       accel: str = "cull", interpret: bool = False,
                       row0=None, total_height: Optional[int] = None,
-                      fused: Optional[bool] = None, mip: bool = False):
+                      fused: Optional[bool] = None, mip: bool = False,
+                      emit_shadow_planes: bool = False):
     """One frame, fully fused under one jit: planar raygen -> sphere
     passes -> Pallas G-buffer -> one-gather texture shade -> composite.
     The reference's whole render() pass DAG (src/lib.rs:1012-1230)
@@ -2631,6 +2675,12 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
                 and f_pad <= STREAM_FACES)
     if fused is None:
         fused = False
+    if emit_shadow_planes:
+        # geometry-parallel (gp) staging: stop after the shadow
+        # WAVEFRONT is built — the merged winner wavefront is traced
+        # against every shard and OR'd (parallel/geometry_sharding.py)
+        assert shadows and not fused, \
+            "emit_shadow_planes stages the split shadowed frame"
     if fused:
         assert eligible and not mip, \
             "fused frame needs a VMEM-resident mesh, no nm, no mip"
@@ -2646,12 +2696,7 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     origin = uni.origin
 
     th_total = total_height or height
-    shape = _pick_tile_shape(width, height)
-    if shape is not None and row0 is not None and shape[2] != height:
-        # sharded row slabs must not render past their slab; keep the
-        # legacy unpadded tile shape there
-        shape = (8, 128, height) if height % 8 == 0 and \
-            width % 128 == 0 else None
+    shape = _frame_shape(width, height, row0, total_height)
     tiled = shape is not None
     if tiled:
         tile_h, tile_w, render_h = shape
@@ -2902,6 +2947,14 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         px = jnp.where(relevant, origin[0] + dx * ts + w_nx * 1e-3, park)
         py = jnp.where(relevant, origin[1] + dy * ts + w_ny * 1e-3, park)
         pz = jnp.where(relevant, origin[2] + dz * ts + w_nz * 1e-3, park)
+        if emit_shadow_planes:
+            # everything the gp merge + second-stage occlusion needs,
+            # still in planar tiled order (present_planar finishes)
+            return dict(cr=cr, cg=cg, cb=cb, depth=depth,
+                        w_ar=w_ar, w_ag=w_ag, w_ab=w_ab,
+                        covered=covered, relevant=relevant,
+                        px=px, py=py, pz=pz,
+                        sdx=sdx, sdy=sdy, sdz=sdz)
         occ = jnp.zeros((r,), bool)
         if has_mesh:
             # big scenes: re-tile the shadow wavefront by origin
@@ -2917,23 +2970,8 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
         cg = jnp.where(shadowed, w_ag, cg)
         cb = jnp.where(shadowed, w_ab, cb)
 
-    if quantize:
-        cr = jnp.floor(jnp.clip(cr, 0.0, 1.0) * 255.0 + 0.5) / 255.0
-        cg = jnp.floor(jnp.clip(cg, 0.0, 1.0) * 255.0 + 0.5) / 255.0
-        cb = jnp.floor(jnp.clip(cb, 0.0, 1.0) * 255.0 + 0.5) / 255.0
-
-    if tiled:
-        cr = tiled_to_image(cr, width, render_h, tile_h, tile_w)[:height]
-        cg = tiled_to_image(cg, width, render_h, tile_h, tile_w)[:height]
-        cb = tiled_to_image(cb, width, render_h, tile_h, tile_w)[:height]
-        depth = tiled_to_image(depth, width, render_h,
-                               tile_h, tile_w)[:height]
-        color = jnp.stack([cr, cg, cb], axis=-1)
-        return color, depth
-    color = jnp.stack(
-        [cr.reshape(height, width), cg.reshape(height, width),
-         cb.reshape(height, width)], axis=-1)
-    return color, depth.reshape(height, width)
+    return present_planar(cr, cg, cb, depth, width=width, height=height,
+                          shape=shape, quantize=quantize)
 
 
 def _spheres_occlude_planar(scene, px, py, pz, dx, dy, dz, t_min=1e-3):

@@ -175,6 +175,16 @@ def shade_mesh_hit(scene: SceneData, face, u, v, n_dot_d, ray_dir, lit=None,
 
 def quantize_rgba8(color):
     """Model the rgba8unorm storage-texture write (sphere/compute.wgsl:2):
-    clamp to [0,1] and round to 8-bit levels."""
+    clamp to [0,1] and round to 8-bit levels.
+
+    The dequantize multiplies by an EXPLICIT f32 reciprocal instead of
+    dividing: XLA rewrites x / 255.0 into multiply-by-reciprocal in
+    some compilation contexts but not others (measured 1-ulp
+    divergence between the single-jit frame and the gp-sharded frame),
+    and the geometry-parallel merge promises BITWISE equality across
+    program boundaries — so every quantize site (oracle, split
+    present, fused frame) runs this one function with the same
+    constant."""
     c = jnp.clip(color, 0.0, 1.0)
-    return jnp.floor(c * 255.0 + 0.5) / 255.0
+    inv255 = jnp.float32(1.0 / 255.0)  # folded on the host, no divide op
+    return jnp.floor(c * 255.0 + 0.5) * inv255

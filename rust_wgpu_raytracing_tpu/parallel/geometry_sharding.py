@@ -33,10 +33,18 @@ pixels pick chip 0's background — the same RGB everywhere.
 
 Per-chip work drops ~linearly in the shard's face count (every chip
 still traces all rays — this axis buys scene SIZE and sweep time, not
-ray throughput; compose with 'dp' row slabs for both). Shadow passes
-need a second collective stage (merged wavefront -> local any-hit ->
-OR over 'gp') and are not wired yet: render_sharded_gp asserts
-shadows=False.
+ray throughput; compose with 'dp' row slabs for both).
+
+SHADOWS are a second collective stage: occlusion of the MERGED winner
+wavefront is a boolean union over the face soup, so each chip builds
+its local frame up to the shadow wavefront
+(render_megakernel(..., emit_shadow_planes=True)), the winner planes
+merge with the same (depth, chip) rule, every chip traces the SAME
+merged wavefront against ITS OWN faces, and one more collective ORs
+the occlusion bits — then the ambient substitution and present are
+replicated scalar work. Still bit-identical: the single-chip any-hit
+is "any face occludes", and a union over disjoint face shards tests
+exactly the same set of faces.
 """
 
 from __future__ import annotations
@@ -135,31 +143,77 @@ def render_sharded_gp(scene: SceneData, uni_flat, mesh: Mesh, *,
     Returns replicated (color (H, W, 3), depth (H, W)) — bit-identical
     to single-chip render_megakernel (see module docstring; tested on
     the 8-virtual-device CPU mesh)."""
-    assert not shadows, "gp shadows need the two-stage any-hit OR " \
-                        "(module docstring); compose with dp for now"
     import jax as _jax
 
-    from ..ops.megakernel import render_megakernel
+    from ..ops.megakernel import (BLOCK_F, _frame_shape, _should_stream,
+                                  _spheres_occlude_planar,
+                                  anyhit_pallas, anyhit_reordered_pallas,
+                                  present_planar, render_megakernel)
 
     if interpret is None:
         interpret = _jax.default_backend() != "tpu"
     n = mesh.shape["gp"]
     stacked, rest = shard_scene_faces(scene, n)
 
-    def shard_fn(face_loc, rest_rep, uni_rep):
-        local = dataclasses.replace(
-            rest_rep, **{k: v[0] for k, v in face_loc.items()})
-        color, depth = render_megakernel(
-            local, uni_rep, width=width, height=height,
-            shadows=False, quantize=quantize, accel=accel,
-            background=background, interpret=interpret)
+    def _merge(depth, planes):
+        """(depth, chip)-lexicographic winner select of every plane.
+        Exactly one chip wins a pixel, so the psum over the masked
+        planes is bitwise the winner's value."""
         gpi = jax.lax.axis_index("gp")
         dmin = jax.lax.pmin(depth, "gp")
         wchip = jax.lax.pmin(
             jnp.where(depth == dmin, gpi, n).astype(jnp.int32), "gp")
         win = (depth == dmin) & (gpi == wchip)
-        color = jax.lax.psum(jnp.where(win[..., None], color, 0.0), "gp")
-        return color, dmin
+        out = []
+        for p in planes:
+            w = win.reshape(win.shape + (1,) * (p.ndim - win.ndim))
+            if p.dtype == jnp.bool_:
+                out.append(jax.lax.psum(
+                    jnp.where(w, p, False).astype(jnp.int32), "gp") > 0)
+            else:
+                out.append(jax.lax.psum(
+                    jnp.where(w, p, jnp.zeros((), p.dtype)), "gp"))
+        return dmin, out
+
+    def shard_fn(face_loc, rest_rep, uni_rep):
+        local = dataclasses.replace(
+            rest_rep, **{k: v[0] for k, v in face_loc.items()})
+        if not shadows:
+            color, depth = render_megakernel(
+                local, uni_rep, width=width, height=height,
+                shadows=False, quantize=quantize, accel=accel,
+                background=background, interpret=interpret)
+            dmin, (color,) = _merge(depth, [color])
+            return color, dmin
+        pl_ = render_megakernel(
+            local, uni_rep, width=width, height=height, shadows=True,
+            quantize=quantize, accel=accel, background=background,
+            interpret=interpret, emit_shadow_planes=True)
+        names = ("cr", "cg", "cb", "w_ar", "w_ag", "w_ab", "covered",
+                 "relevant", "px", "py", "pz", "sdx", "sdy", "sdz")
+        dmin, merged = _merge(pl_["depth"], [pl_[k] for k in names])
+        m = dict(zip(names, merged))
+        # stage 2: every chip traces the SAME merged wavefront against
+        # its own faces; occlusion is the OR over shards (+ replicated
+        # spheres — identical on every chip)
+        ah = (anyhit_reordered_pallas
+              if _should_stream(local.padded_faces, BLOCK_F)
+              else anyhit_pallas)
+        occ_l = ah(local, m["px"], m["py"], m["pz"],
+                   m["sdx"], m["sdy"], m["sdz"], m["relevant"],
+                   interpret=interpret, accel=accel)
+        occ = jax.lax.psum(occ_l.astype(jnp.int32), "gp") > 0
+        occ = occ | _spheres_occlude_planar(
+            local, m["px"], m["py"], m["pz"],
+            m["sdx"], m["sdy"], m["sdz"])
+        shadowed = m["covered"] & occ
+        cr = jnp.where(shadowed, m["w_ar"], m["cr"])
+        cg = jnp.where(shadowed, m["w_ag"], m["cg"])
+        cb = jnp.where(shadowed, m["w_ab"], m["cb"])
+        return present_planar(
+            cr, cg, cb, dmin, width=width, height=height,
+            shape=_frame_shape(width, height, None, None),
+            quantize=quantize)
 
     fn = shard_map(
         shard_fn, mesh=mesh,

@@ -230,6 +230,38 @@ class TestGeometrySharded:
         np.testing.assert_array_equal(np.asarray(single), np.asarray(c))
         np.testing.assert_array_equal(np.asarray(sdepth), np.asarray(d))
 
+    def test_shadowed_frame_exact(self):
+        """Two-stage gp shadows: merged winner wavefront, local any-hit
+        per shard, OR over 'gp' — must equal the single-chip shadowed
+        frame bitwise (the any-hit is a boolean union over disjoint
+        face shards)."""
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+        from rust_wgpu_raytracing_tpu.parallel.geometry_sharding import (
+            make_gp_mesh, render_sharded_gp)
+
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="builtin:terrain:64",
+                               translation=(0.0, 0.0, -3.0),
+                               light_direction=(6.0, -1.0, 1.0)),),
+            camera=CameraConfig(eye=(0.0, -2.0, -1.0),
+                                target=(0.0, 0.0, -3.2)),
+            render=RenderConfig(width=64, height=64))
+        scene = Scene.build(cfg)
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = cam.uniforms().flat()
+        lit, _ = mk.render_megakernel(
+            scene.data, jnp.asarray(uni, jnp.float32),
+            width=64, height=64, shadows=False, interpret=True)
+        single, sdepth = mk.render_megakernel(
+            scene.data, jnp.asarray(uni, jnp.float32),
+            width=64, height=64, shadows=True, interpret=True)
+        # the low sun must actually cast shadows, or this test is vacuous
+        assert (np.asarray(single) != np.asarray(lit)).any()
+        c, d = render_sharded_gp(scene.data, uni, make_gp_mesh(8),
+                                 width=64, height=64, shadows=True)
+        np.testing.assert_array_equal(np.asarray(single), np.asarray(c))
+        np.testing.assert_array_equal(np.asarray(sdepth), np.asarray(d))
+
     def test_spheres_replicated_exact(self):
         """Spheres ride every shard; sphere-vs-mesh ties and pure-sphere
         pixels must still merge to the single-chip frame bitwise."""
