@@ -160,18 +160,24 @@ def _closest_surface(gb_hit, gb, sph):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "bounces", "spp", "background", "interpret",
-    "total_height"))
+    "total_height", "chp_fn", "es_fn", "ah_fn"))
 def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
                      height: int, bounces: int = 4, spp: int = 1,
                      background=(0.0, 0.0, 0.0), interpret: bool = False,
-                     accum=None, row0=None, total_height=None):
+                     accum=None, row0=None, total_height=None,
+                     chp_fn=None, es_fn=None, ah_fn=None):
     """Trace `spp` full paths per pixel; returns the SUM of radiance
     (H, W, 3) — caller divides by total accumulated spp (progressive
     accumulation lives in the Renderer). accum (optional, (H, W, 3)):
     running radiance sum folded into the SAME jit — a separate eager
     add costs a ~3 ms dispatch per frame on tunneled backends.
     row0/total_height: render a row slab of a taller image (multi-chip
-    dp sharding — see parallel.tile_sharding.render_pathtrace_sharded)."""
+    dp sharding — see parallel.tile_sharding.render_pathtrace_sharded).
+    chp_fn/es_fn/ah_fn (static): override the three mesh-intersection
+    passes (primary closest-hit, fused extend+shadow, last-bounce
+    any-hit) with same-signature wrappers — the geometry-parallel path
+    tracer injects collectives-merging wrappers here so the whole
+    per-ray state machine is shared (parallel/geometry_sharding.py)."""
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     has_mesh = scene.num_faces > 0
     tile = _pick_tile_shape(width, height)
@@ -200,8 +206,9 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
 
         # primary closest hit (shared-origin kernel); later bounces
         # arrive pre-computed by the FUSED extend+shadow sweep below
-        gb = (gbuffer_pallas(scene, uni.origin, dx, dy, dz,
-                             interpret=interpret) if has_mesh else None)
+        gb = ((chp_fn or gbuffer_pallas)(scene, uni.origin, dx, dy, dz,
+                                         interpret=interpret)
+              if has_mesh else None)
         sph = [sphere_pass_planar(scene, i, uni.origin, dx, dy, dz)
                for i in range(scene.num_spheres)]
 
@@ -293,13 +300,14 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
             occ = jnp.zeros((r,), bool)
             gb_next = None
             if has_mesh and not last:
-                gb_next, occ = extend_shadow_pallas(
+                gb_next, occ = (es_fn or extend_shadow_pallas)(
                     scene, nox, noy, noz, ndx, ndy, ndz,
                     px, py, pz, sdx, sdy, sdz, hit, interpret=interpret)
             elif has_mesh:
-                ah = (anyhit_reordered_pallas
-                      if _should_stream(scene.padded_faces, BLOCK_F)
-                      else anyhit_pallas)
+                ah = ah_fn or (anyhit_reordered_pallas
+                               if _should_stream(scene.padded_faces,
+                                                 BLOCK_F)
+                               else anyhit_pallas)
                 occ = ah(scene, px, py, pz, sdx, sdy, sdz, hit,
                          interpret=interpret)
             occ = occ | _spheres_occlude_planar(scene, px, py, pz,

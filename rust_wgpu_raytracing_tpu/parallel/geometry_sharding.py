@@ -221,3 +221,98 @@ def render_sharded_gp(scene: SceneData, uni_flat, mesh: Mesh, *,
                   jax.tree.map(lambda _: P(), rest), P()),
         out_specs=(P(), P()), check_vma=False)
     return fn(stacked, rest, jnp.asarray(uni_flat, jnp.float32))
+
+
+def render_pathtrace_gp(scene: SceneData, uni_flat, key, mesh: Mesh, *,
+                        width: int, height: int, bounces: int = 4,
+                        spp: int = 1, background=(0.0, 0.0, 0.0),
+                        interpret: Optional[bool] = None):
+    """Path tracing with the face soup sharded over 'gp': the whole
+    per-ray state machine (jitter, NEE, roulette-free bounces, RNG)
+    runs REPLICATED on every chip, and only the three mesh-intersection
+    passes are sharded — each chip sweeps its own faces and three
+    collectives merge the results per bounce:
+
+      closest-hit: lexicographic (t, global face) via pmin + a
+        one-winner psum select of every G-buffer plane (global face =
+        local face + chip offset, which IS the single-chip Morton
+        index because shards slice the soup in order);
+      any-hit: boolean OR (psum of the disjoint shards' occlusion).
+
+    Per-chip sweep work drops ~linearly in the shard size — this is
+    the axis that scales the 2M-face path-traced scenes the
+    single-chip HBM streams today. Returns the replicated spp-SUM
+    radiance image, bit-identical to single-chip render_pathtrace
+    (tested on the 8-virtual-device CPU mesh)."""
+    import jax as _jax
+
+    from ..ops.megakernel import (BLOCK_F, GBuffer, _should_stream,
+                                  anyhit_pallas, anyhit_reordered_pallas,
+                                  extend_shadow_pallas, gbuffer_pallas)
+    from ..ops.pathtrace import render_pathtrace
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    n = mesh.shape["gp"]
+    stacked, rest = shard_scene_faces(scene, n)
+    per = rest.num_faces
+    big = jnp.int32(2 ** 30)
+
+    def shard_fn(face_loc, rest_rep, uni_rep, key_rep):
+        local = dataclasses.replace(
+            rest_rep, **{k: v[0] for k, v in face_loc.items()})
+        gpi = jax.lax.axis_index("gp")
+
+        def merge_gb(gb):
+            t = gb.t
+            hit = jnp.isfinite(t)
+            tmin = jax.lax.pmin(t, "gp")
+            gface = jnp.where(hit, gb.face + gpi * per, big)
+            fmin = jax.lax.pmin(jnp.where(t == tmin, gface, big), "gp")
+            wchip = jax.lax.pmin(
+                jnp.where((t == tmin) & (gface == fmin), gpi,
+                          n).astype(jnp.int32), "gp")
+            win = (t == tmin) & (gface == fmin) & (gpi == wchip)
+
+            def sel(x):
+                return jax.lax.psum(
+                    jnp.where(win, x, jnp.zeros((), x.dtype)), "gp")
+
+            return GBuffer(
+                t=tmin, face=sel(jnp.where(hit, gb.face + gpi * per, 0)),
+                u=sel(gb.u), v=sel(gb.v), nd=sel(gb.nd),
+                uvx=sel(gb.uvx), uvy=sel(gb.uvy), nx=sel(gb.nx),
+                ny=sel(gb.ny), nz=sel(gb.nz), mat=sel(gb.mat))
+
+        def occ_or(o):
+            return jax.lax.psum(o.astype(jnp.int32), "gp") > 0
+
+        def chp(_s, origin, dx, dy, dz, **kw):
+            return merge_gb(gbuffer_pallas(local, origin, dx, dy, dz,
+                                           **kw))
+
+        def es(_s, ox, oy, oz, dx, dy, dz,
+               sox, soy, soz, sdx, sdy, sdz, act, **kw):
+            gb, occ = extend_shadow_pallas(
+                local, ox, oy, oz, dx, dy, dz,
+                sox, soy, soz, sdx, sdy, sdz, act, **kw)
+            return merge_gb(gb), occ_or(occ)
+
+        def ahw(_s, px, py, pz, dx, dy, dz, act, **kw):
+            ah = (anyhit_reordered_pallas
+                  if _should_stream(local.padded_faces, BLOCK_F)
+                  else anyhit_pallas)
+            return occ_or(ah(local, px, py, pz, dx, dy, dz, act, **kw))
+
+        return render_pathtrace(
+            local, uni_rep, key_rep[0], width=width, height=height,
+            bounces=bounces, spp=spp, background=background,
+            interpret=interpret, chp_fn=chp, es_fn=es, ah_fn=ahw)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("gp"), stacked),
+                  jax.tree.map(lambda _: P(), rest), P(), P()),
+        out_specs=P(), check_vma=False)
+    return fn(stacked, rest, jnp.asarray(uni_flat, jnp.float32),
+              key[None])

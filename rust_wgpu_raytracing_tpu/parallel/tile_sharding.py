@@ -339,14 +339,27 @@ def dryrun_multichip(n_devices: int) -> None:
     assert color_pt.shape == (H, W, 3)
     assert bool(jnp.all(jnp.isfinite(color_pt)))
 
-    # geometry-parallel frame (face soup sharded over 'gp', pmin/psum
-    # winner merge — parallel/geometry_sharding.py)
-    from .geometry_sharding import make_gp_mesh, render_sharded_gp
+    # geometry-parallel frames (face soup sharded over 'gp', pmin/psum
+    # winner merge — parallel/geometry_sharding.py): lit, shadowed,
+    # and the gp path tracer
+    from .geometry_sharding import (make_gp_mesh, render_pathtrace_gp,
+                                    render_sharded_gp)
+    gp_mesh = make_gp_mesh(n_devices)
     color_gp, depth_gp = render_sharded_gp(
-        scene.data, uni, make_gp_mesh(n_devices), width=W, height=H)
+        scene.data, uni, gp_mesh, width=W, height=H)
     jax.block_until_ready(color_gp)
     assert color_gp.shape == (H, W, 3)
     assert depth_gp.shape == (H, W)
+    color_gps, _ = render_sharded_gp(
+        scene.data, uni, gp_mesh, width=W, height=H, shadows=True)
+    jax.block_until_ready(color_gps)
+    assert color_gps.shape == (H, W, 3)
+    color_gpt = render_pathtrace_gp(
+        scene.data, uni, jax.random.PRNGKey(0), gp_mesh,
+        width=W, height=H, bounces=1, spp=1)
+    jax.block_until_ready(color_gpt)
+    assert color_gpt.shape == (H, W, 3)
+    assert bool(jnp.all(jnp.isfinite(color_gpt)))
 
     # full training step: differentiable render + psum'd grads + update
     params = {

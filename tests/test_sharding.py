@@ -262,6 +262,35 @@ class TestGeometrySharded:
         np.testing.assert_array_equal(np.asarray(single), np.asarray(c))
         np.testing.assert_array_equal(np.asarray(sdepth), np.asarray(d))
 
+    def test_pathtrace_gp_exact(self):
+        """gp path tracing: only the three mesh-intersection passes are
+        sharded (lexicographic (t, global face) pmin merge + occlusion
+        OR); the replicated per-ray state machine must produce the
+        single-chip radiance image bitwise."""
+        from rust_wgpu_raytracing_tpu.ops.pathtrace import render_pathtrace
+        from rust_wgpu_raytracing_tpu.parallel.geometry_sharding import (
+            make_gp_mesh, render_pathtrace_gp)
+
+        cfg = SceneConfig(
+            spheres=(SphereConfig(center=(0.5, 0.2, -3.0), radius=0.6),),
+            meshes=(MeshConfig(obj_path="builtin:terrain:64",
+                               translation=(0.0, 0.0, -3.0),
+                               light_direction=(6.0, -1.0, 1.0)),),
+            camera=CameraConfig(eye=(0.0, -2.0, -1.0),
+                                target=(0.0, 0.0, -3.2)),
+            render=RenderConfig(width=64, height=32))
+        scene = Scene.build(cfg)
+        cam = Camera.from_config(cfg.camera, aspect=2.0)
+        uni = cam.uniforms().flat()
+        key = jax.random.PRNGKey(3)
+        ref = render_pathtrace(scene.data, jnp.asarray(uni, jnp.float32),
+                               key, width=64, height=32, bounces=2,
+                               spp=1, interpret=True)
+        c = render_pathtrace_gp(scene.data, uni, key, make_gp_mesh(8),
+                                width=64, height=32, bounces=2, spp=1)
+        assert float(np.asarray(ref).sum()) > 0.0
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(c))
+
     def test_spheres_replicated_exact(self):
         """Spheres ride every shard; sphere-vs-mesh ties and pure-sphere
         pixels must still merge to the single-chip frame bitwise."""
