@@ -128,10 +128,29 @@ def shard_scene_faces(sd: SceneData, n: int) -> Tuple[dict, SceneData]:
     return stacked, rest
 
 
-def make_gp_mesh(n_devices: Optional[int] = None) -> Mesh:
+def make_gp_mesh(n_devices: Optional[int] = None, dp: int = 1) -> Mesh:
+    """1-D ('gp',) mesh, or the 2-D ('dp', 'gp') mesh when dp > 1 —
+    image rows x face shards, the canonical both-axes layout: the gp
+    winner-merge collectives ride within a dp row, and the dp axis
+    needs no collectives at all (each row slab is independent)."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if dp > 1:
+        assert n % dp == 0, (n, dp)
+        return Mesh(np.array(devs[:n]).reshape(dp, n // dp),
+                    ("dp", "gp"))
     return Mesh(np.array(devs[:n]), ("gp",))
+
+
+def _dp_slab(mesh: Mesh, height: int):
+    """(rows, row0_fn, out_spec) for an optional 'dp' row-slab axis."""
+    dp = mesh.shape.get("dp", 1)
+    assert height % dp == 0, (height, dp)
+    rows = height // dp
+    if dp == 1:
+        return rows, (lambda: None), P()
+    return rows, (lambda: (jax.lax.axis_index("dp") * rows)
+                  .astype(jnp.float32)), P("dp")
 
 
 def render_sharded_gp(scene: SceneData, uni_flat, mesh: Mesh, *,
@@ -153,6 +172,8 @@ def render_sharded_gp(scene: SceneData, uni_flat, mesh: Mesh, *,
     if interpret is None:
         interpret = _jax.default_backend() != "tpu"
     n = mesh.shape["gp"]
+    dp = mesh.shape.get("dp", 1)
+    rows, row0_fn, dp_spec = _dp_slab(mesh, height)
     stacked, rest = shard_scene_faces(scene, n)
 
     def _merge(depth, planes):
@@ -178,17 +199,19 @@ def render_sharded_gp(scene: SceneData, uni_flat, mesh: Mesh, *,
     def shard_fn(face_loc, rest_rep, uni_rep):
         local = dataclasses.replace(
             rest_rep, **{k: v[0] for k, v in face_loc.items()})
+        row0 = row0_fn()
+        th = height if dp > 1 else None
+        common = dict(width=width, height=rows, quantize=quantize,
+                      accel=accel, background=background,
+                      interpret=interpret, row0=row0, total_height=th)
         if not shadows:
-            color, depth = render_megakernel(
-                local, uni_rep, width=width, height=height,
-                shadows=False, quantize=quantize, accel=accel,
-                background=background, interpret=interpret)
+            color, depth = render_megakernel(local, uni_rep,
+                                             shadows=False, **common)
             dmin, (color,) = _merge(depth, [color])
-            return color, dmin
-        pl_ = render_megakernel(
-            local, uni_rep, width=width, height=height, shadows=True,
-            quantize=quantize, accel=accel, background=background,
-            interpret=interpret, emit_shadow_planes=True)
+            return ((color[None], dmin[None]) if dp > 1
+                    else (color, dmin))
+        pl_ = render_megakernel(local, uni_rep, shadows=True,
+                                emit_shadow_planes=True, **common)
         names = ("cr", "cg", "cb", "w_ar", "w_ag", "w_ab", "covered",
                  "relevant", "px", "py", "pz", "sdx", "sdy", "sdz")
         dmin, merged = _merge(pl_["depth"], [pl_[k] for k in names])
@@ -210,17 +233,23 @@ def render_sharded_gp(scene: SceneData, uni_flat, mesh: Mesh, *,
         cr = jnp.where(shadowed, m["w_ar"], m["cr"])
         cg = jnp.where(shadowed, m["w_ag"], m["cg"])
         cb = jnp.where(shadowed, m["w_ab"], m["cb"])
-        return present_planar(
-            cr, cg, cb, dmin, width=width, height=height,
-            shape=_frame_shape(width, height, None, None),
+        color, depth = present_planar(
+            cr, cg, cb, dmin, width=width, height=rows,
+            shape=_frame_shape(width, rows, row0, th),
             quantize=quantize)
+        return ((color[None], depth[None]) if dp > 1
+                else (color, depth))
 
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P("gp"), stacked),
                   jax.tree.map(lambda _: P(), rest), P()),
-        out_specs=(P(), P()), check_vma=False)
-    return fn(stacked, rest, jnp.asarray(uni_flat, jnp.float32))
+        out_specs=(dp_spec, dp_spec), check_vma=False)
+    color, depth = fn(stacked, rest, jnp.asarray(uni_flat, jnp.float32))
+    if dp > 1:
+        color = color.reshape(height, width, 3)
+        depth = depth.reshape(height, width)
+    return color, depth
 
 
 def render_pathtrace_gp(scene: SceneData, uni_flat, key, mesh: Mesh, *,
@@ -254,6 +283,8 @@ def render_pathtrace_gp(scene: SceneData, uni_flat, key, mesh: Mesh, *,
     if interpret is None:
         interpret = _jax.default_backend() != "tpu"
     n = mesh.shape["gp"]
+    dp = mesh.shape.get("dp", 1)
+    rows, row0_fn, dp_spec = _dp_slab(mesh, height)
     stacked, rest = shard_scene_faces(scene, n)
     per = rest.num_faces
     big = jnp.int32(2 ** 30)
@@ -304,15 +335,19 @@ def render_pathtrace_gp(scene: SceneData, uni_flat, key, mesh: Mesh, *,
                   else anyhit_pallas)
             return occ_or(ah(local, px, py, pz, dx, dy, dz, act, **kw))
 
-        return render_pathtrace(
-            local, uni_rep, key_rep[0], width=width, height=height,
+        color = render_pathtrace(
+            local, uni_rep, key_rep[0], width=width, height=rows,
             bounces=bounces, spp=spp, background=background,
-            interpret=interpret, chp_fn=chp, es_fn=es, ah_fn=ahw)
+            interpret=interpret, row0=row0_fn(),
+            total_height=height if dp > 1 else None,
+            chp_fn=chp, es_fn=es, ah_fn=ahw)
+        return color[None] if dp > 1 else color
 
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P("gp"), stacked),
                   jax.tree.map(lambda _: P(), rest), P(), P()),
-        out_specs=P(), check_vma=False)
-    return fn(stacked, rest, jnp.asarray(uni_flat, jnp.float32),
-              key[None])
+        out_specs=dp_spec, check_vma=False)
+    out = fn(stacked, rest, jnp.asarray(uni_flat, jnp.float32),
+             key[None])
+    return out.reshape(height, width, 3) if dp > 1 else out

@@ -361,6 +361,14 @@ def dryrun_multichip(n_devices: int) -> None:
     assert color_gpt.shape == (H, W, 3)
     assert bool(jnp.all(jnp.isfinite(color_gpt)))
 
+    # 2-D ('dp', 'gp') composition: row slabs x face shards
+    if n_devices >= 4 and n_devices % 2 == 0 and H % 2 == 0:
+        color_2d, _ = render_sharded_gp(
+            scene.data, uni, make_gp_mesh(n_devices, dp=2),
+            width=W, height=H)
+        jax.block_until_ready(color_2d)
+        assert color_2d.shape == (H, W, 3)
+
     # full training step: differentiable render + psum'd grads + update
     params = {
         "sphere_color": scene.data.sphere_color,

@@ -262,6 +262,37 @@ class TestGeometrySharded:
         np.testing.assert_array_equal(np.asarray(single), np.asarray(c))
         np.testing.assert_array_equal(np.asarray(sdepth), np.asarray(d))
 
+    def test_dp_gp_composition(self):
+        """2-D ('dp','gp') mesh: row slabs x face shards. Slab raygen
+        retiles the rays, so (like the existing dp tests) the check is
+        close-match on the unquantized frame, not bitwise."""
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+        from rust_wgpu_raytracing_tpu.parallel.geometry_sharding import (
+            make_gp_mesh, render_sharded_gp)
+
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="builtin:terrain:64",
+                               translation=(0.0, 0.0, -3.0),
+                               light_direction=(6.0, -1.0, 1.0)),),
+            camera=CameraConfig(eye=(0.0, -2.0, -1.0),
+                                target=(0.0, 0.0, -3.2)),
+            render=RenderConfig(width=64, height=32))
+        scene = Scene.build(cfg)
+        cam = Camera.from_config(cfg.camera, aspect=2.0)
+        uni = cam.uniforms().flat()
+        mesh = make_gp_mesh(8, dp=2)  # 2 row slabs x 4 face shards
+        for shadows in (False, True):
+            single, _ = mk.render_megakernel(
+                scene.data, jnp.asarray(uni, jnp.float32),
+                width=64, height=32, shadows=shadows, quantize=False,
+                interpret=True)
+            c, d = render_sharded_gp(scene.data, uni, mesh,
+                                     width=64, height=32,
+                                     shadows=shadows, quantize=False)
+            assert c.shape == (32, 64, 3) and d.shape == (32, 64)
+            np.testing.assert_allclose(np.asarray(c), np.asarray(single),
+                                       atol=2e-5)
+
     def test_pathtrace_gp_exact(self):
         """gp path tracing: only the three mesh-intersection passes are
         sharded (lexicographic (t, global face) pmin merge + occlusion
