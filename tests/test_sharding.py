@@ -262,6 +262,35 @@ class TestGeometrySharded:
         np.testing.assert_array_equal(np.asarray(single), np.asarray(c))
         np.testing.assert_array_equal(np.asarray(sdepth), np.asarray(d))
 
+    def test_streaming_shards_exact(self):
+        """Shards big enough to HBM-stream (per-shard faces >
+        STREAM_FACES): exercises the spack row slicing + per-shard
+        streamed kernels under gp — still bitwise vs single-chip."""
+        from rust_wgpu_raytracing_tpu.core.scene import SUPER_F
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+        from rust_wgpu_raytracing_tpu.parallel.geometry_sharding import (
+            make_gp_mesh, render_sharded_gp, shard_scene_faces)
+
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="builtin:terrain:265",
+                               translation=(0.0, 0.0, -3.0)),),
+            camera=CameraConfig(eye=(0.0, -2.0, -1.0),
+                                target=(0.0, 0.0, -3.2)),
+            render=RenderConfig(width=32, height=32))
+        scene = Scene.build(cfg)
+        stacked, rest = shard_scene_faces(scene.data, 8)
+        assert mk._should_stream(rest.num_faces, 32), rest.num_faces
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = cam.uniforms().flat()
+        single, sdepth = mk.render_megakernel(
+            scene.data, jnp.asarray(uni, jnp.float32),
+            width=32, height=32, interpret=True)
+        c, d = render_sharded_gp(scene.data, uni, make_gp_mesh(8),
+                                 width=32, height=32)
+        assert (np.asarray(d) < 1.0).any()
+        np.testing.assert_array_equal(np.asarray(single), np.asarray(c))
+        np.testing.assert_array_equal(np.asarray(sdepth), np.asarray(d))
+
     def test_dp_gp_composition(self):
         """2-D ('dp','gp') mesh: row slabs x face shards. Slab raygen
         retiles the rays, so (like the existing dp tests) the check is
