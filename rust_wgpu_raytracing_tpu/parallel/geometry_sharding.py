@@ -128,18 +128,25 @@ def shard_scene_faces(sd: SceneData, n: int) -> Tuple[dict, SceneData]:
     return stacked, rest
 
 
-def make_gp_mesh(n_devices: Optional[int] = None, dp: int = 1) -> Mesh:
-    """1-D ('gp',) mesh, or the 2-D ('dp', 'gp') mesh when dp > 1 —
-    image rows x face shards, the canonical both-axes layout: the gp
-    winner-merge collectives ride within a dp row, and the dp axis
-    needs no collectives at all (each row slab is independent)."""
+def make_gp_mesh(n_devices: Optional[int] = None, dp: int = 1,
+                 sp: int = 1) -> Mesh:
+    """('gp',), ('dp', 'gp'), ('sp', 'gp') or ('dp', 'sp', 'gp') mesh —
+    image rows x path samples x face shards. The gp winner-merge
+    collectives ride within a (dp, sp) row; the sp radiance mean is one
+    more psum; the dp axis needs no collectives at all (each row slab
+    is independent)."""
     devs = jax.devices()
     n = n_devices or len(devs)
-    if dp > 1:
-        assert n % dp == 0, (n, dp)
-        return Mesh(np.array(devs[:n]).reshape(dp, n // dp),
-                    ("dp", "gp"))
-    return Mesh(np.array(devs[:n]), ("gp",))
+    assert n % (dp * sp) == 0, (n, dp, sp)
+    gp = n // (dp * sp)
+    shape, names = [], []
+    for size, name in ((dp, "dp"), (sp, "sp")):
+        if size > 1:
+            shape.append(size)
+            names.append(name)
+    shape.append(gp)
+    names.append("gp")
+    return Mesh(np.array(devs[:n]).reshape(shape), tuple(names))
 
 
 def _dp_slab(mesh: Mesh, height: int):
@@ -272,7 +279,11 @@ def render_pathtrace_gp(scene: SceneData, uni_flat, key, mesh: Mesh, *,
     the axis that scales the 2M-face path-traced scenes the
     single-chip HBM streams today. Returns the replicated spp-SUM
     radiance image, bit-identical to single-chip render_pathtrace
-    (tested on the 8-virtual-device CPU mesh)."""
+    (tested on the 8-virtual-device CPU mesh). With an 'sp' mesh axis
+    (make_gp_mesh(sp=...)) each sp rank traces its own key fold and the
+    return becomes the MEAN over all sp*spp samples (the
+    render_pathtrace_sharded convention); 'dp' shards image rows —
+    all three axes compose."""
     import jax as _jax
 
     from ..ops.megakernel import (BLOCK_F, GBuffer, _should_stream,
@@ -284,6 +295,7 @@ def render_pathtrace_gp(scene: SceneData, uni_flat, key, mesh: Mesh, *,
         interpret = _jax.default_backend() != "tpu"
     n = mesh.shape["gp"]
     dp = mesh.shape.get("dp", 1)
+    sp = mesh.shape.get("sp", 1)
     rows, row0_fn, dp_spec = _dp_slab(mesh, height)
     stacked, rest = shard_scene_faces(scene, n)
     per = rest.num_faces
@@ -335,12 +347,20 @@ def render_pathtrace_gp(scene: SceneData, uni_flat, key, mesh: Mesh, *,
                   else anyhit_pallas)
             return occ_or(ah(local, px, py, pz, dx, dy, dz, act, **kw))
 
+        k = key_rep[0]
+        if sp > 1:
+            # decorrelate path samples across the 'sp' axis; the mean
+            # over all sp*spp samples rides one more psum (matching
+            # tile_sharding.render_pathtrace_sharded semantics)
+            k = jax.random.fold_in(k, jax.lax.axis_index("sp"))
         color = render_pathtrace(
-            local, uni_rep, key_rep[0], width=width, height=rows,
+            local, uni_rep, k, width=width, height=rows,
             bounces=bounces, spp=spp, background=background,
             interpret=interpret, row0=row0_fn(),
             total_height=height if dp > 1 else None,
             chp_fn=chp, es_fn=es, ah_fn=ahw)
+        if sp > 1:
+            color = jax.lax.psum(color, "sp") / (spp * sp)
         return color[None] if dp > 1 else color
 
     fn = shard_map(

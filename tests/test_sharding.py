@@ -351,6 +351,38 @@ class TestGeometrySharded:
         assert float(np.asarray(ref).sum()) > 0.0
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(c))
 
+    def test_pathtrace_sp_gp_mean(self):
+        """sp x gp: each sp rank traces its own key fold over the
+        sharded geometry; the mesh-wide mean must equal the two
+        single-chip sums averaged."""
+        from rust_wgpu_raytracing_tpu.ops.pathtrace import render_pathtrace
+        from rust_wgpu_raytracing_tpu.parallel.geometry_sharding import (
+            make_gp_mesh, render_pathtrace_gp)
+
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="builtin:terrain:64",
+                               translation=(0.0, 0.0, -3.0),
+                               light_direction=(6.0, -1.0, 1.0)),),
+            camera=CameraConfig(eye=(0.0, -2.0, -1.0),
+                                target=(0.0, 0.0, -3.2)),
+            render=RenderConfig(width=64, height=32))
+        scene = Scene.build(cfg)
+        cam = Camera.from_config(cfg.camera, aspect=2.0)
+        uni = cam.uniforms().flat()
+        key = jax.random.PRNGKey(5)
+        mesh = make_gp_mesh(8, sp=2)  # 2 sample ranks x 4 face shards
+        c = render_pathtrace_gp(scene.data, uni, key, mesh,
+                                width=64, height=32, bounces=1, spp=1)
+        parts = [render_pathtrace(scene.data,
+                                  jnp.asarray(uni, jnp.float32),
+                                  jax.random.fold_in(key, i),
+                                  width=64, height=32, bounces=1,
+                                  spp=1, interpret=True)
+                 for i in range(2)]
+        want = (np.asarray(parts[0]) + np.asarray(parts[1])) / 2.0
+        np.testing.assert_allclose(np.asarray(c), want, rtol=1e-6,
+                                   atol=1e-7)
+
     def test_spheres_replicated_exact(self):
         """Spheres ride every shard; sphere-vs-mesh ties and pure-sphere
         pixels must still merge to the single-chip frame bitwise."""
