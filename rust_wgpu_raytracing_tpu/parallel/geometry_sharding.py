@@ -164,11 +164,15 @@ def render_sharded_gp(scene: SceneData, uni_flat, mesh: Mesh, *,
                       width: int, height: int, shadows: bool = False,
                       quantize: bool = True, accel: str = "cull",
                       background=(0.0, 0.0, 0.0),
+                      normal_mapping: bool = False, mip: bool = False,
+                      near: float = 0.01, far: float = 100.0,
                       interpret: Optional[bool] = None):
     """One frame with the face soup sharded over the mesh's 'gp' axis.
     Returns replicated (color (H, W, 3), depth (H, W)) — bit-identical
     to single-chip render_megakernel (see module docstring; tested on
-    the 8-virtual-device CPU mesh)."""
+    the 8-virtual-device CPU mesh). normal_mapping/mip forward to the
+    per-shard frame (texture pools are replicated; tri_tangent /
+    tri_uvscale ride the face shards)."""
     import jax as _jax
 
     from ..ops.megakernel import (BLOCK_F, _frame_shape, _should_stream,
@@ -210,6 +214,8 @@ def render_sharded_gp(scene: SceneData, uni_flat, mesh: Mesh, *,
         th = height if dp > 1 else None
         common = dict(width=width, height=rows, quantize=quantize,
                       accel=accel, background=background,
+                      normal_mapping=normal_mapping, mip=mip,
+                      near=near, far=far,
                       interpret=interpret, row0=row0, total_height=th)
         if not shadows:
             color, depth = render_megakernel(local, uni_rep,

@@ -100,6 +100,12 @@ class Renderer:
             self._frame_fn = frame
             return
 
+        # MeshConfig.normal_mapping was declared but consumed NOWHERE
+        # before round 4 — the flag never reached a backend. The frame
+        # kwarg is scene-wide; per-material map_Bump gating inside the
+        # shader limits the effect to the meshes that carry a map, so
+        # the scene-level OR preserves per-mesh semantics.
+        nm = any(m.normal_mapping for m in self.config.meshes)
         kwargs = dict(
             width=self.width,
             height=self.height,
@@ -108,6 +114,7 @@ class Renderer:
             background=tuple(self.config.background),
             shadows=rc.shadows,
             quantize=rc.quantize_rgba8,
+            normal_mapping=nm,
         )
         if self.backend == "oracle":
             from ..ops.oracle import render_oracle
@@ -125,14 +132,18 @@ class Renderer:
             variant = getattr(rc, "variant", "split")
             if variant not in ("split", "fused", "auto"):
                 raise ValueError(f"unknown frame variant {variant!r}")
+            if variant == "fused" and (rc.mip or nm):
+                raise ValueError(
+                    "variant='fused' needs a plain VMEM frame (no mip, "
+                    "no normal mapping) — use 'split' or 'auto'")
             if variant == "auto":
                 # two bit-identical frame programs exist (split / fused,
                 # see RenderConfig.variant); which is faster depends on
                 # the device and scene. Eligibility first (the fused
-                # kernel needs a VMEM-resident mesh, no mip) — then the
-                # first render() times both and locks the winner.
+                # kernel needs a VMEM-resident mesh, no nm/mip) — then
+                # the first render() times both and locks the winner.
                 sd = self.scene.data
-                if not (sd.num_faces > 0 and not rc.mip
+                if not (sd.num_faces > 0 and not rc.mip and not nm
                         and sd.tri_p0.shape[0] <= STREAM_FACES):
                     variant = "split"
             if variant != "auto":
@@ -154,6 +165,18 @@ class Renderer:
                     return self._frame_fn(scene, uni)
 
                 self._frame_fn = autotune
+        elif self.backend == "megakernel_gp":
+            # geometry-parallel frame: face soup sharded over every
+            # visible device (parallel/geometry_sharding.py) — the
+            # multi-chip runtime path; bit-identical to "megakernel"
+            from ..parallel.geometry_sharding import (make_gp_mesh,
+                                                      render_sharded_gp)
+
+            mesh = make_gp_mesh()
+            self.variant_chosen = "gp"
+            self._frame_fn = lambda scene, uni: render_sharded_gp(
+                scene, uni, mesh, accel=rc.accel, mip=rc.mip,
+                interpret=interactive_interpret, **kwargs)
         else:
             raise ValueError(f"unknown backend {self.backend!r}")
 

@@ -420,3 +420,47 @@ class TestFrameVariant:
             render=RenderConfig(width=32, height=32, variant="best"))
         with pytest.raises(ValueError, match="variant"):
             Renderer(cfg, backend="megakernel")
+
+
+class TestBackendFlags:
+    def _mesh_cfg(self, nm=False, **render_kw):
+        from rust_wgpu_raytracing_tpu.config import MeshConfig
+
+        return SceneConfig(
+            meshes=(MeshConfig(obj_path="cube.obj",
+                               translation=(0.0, 0.0, -3.0), scale=0.6,
+                               normal_mapping=nm),),
+            render=RenderConfig(width=48, height=48, **render_kw))
+
+    def test_normal_mapping_flag_reaches_backend(self):
+        """Regression: MeshConfig.normal_mapping was consumed NOWHERE
+        before round 4 — the flag must change the frame (cube.obj
+        carries a map_Bump; unquantized compare — cube.mtl's
+        Ka=(1,1,1) saturates the quantized frame to white)."""
+        plain = Renderer(self._mesh_cfg(quantize_rgba8=False),
+                         backend="megakernel")
+        nm = Renderer(self._mesh_cfg(nm=True, quantize_rgba8=False),
+                      backend="megakernel")
+        a, _ = plain.render()
+        b, _ = nm.render()
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_variant_rejects_nm(self):
+        with pytest.raises(ValueError):
+            Renderer(self._mesh_cfg(nm=True, variant="fused"),
+                     backend="megakernel")
+
+    def test_megakernel_gp_backend_matches_single(self):
+        """The user-facing multi-chip backend: bit-identical frame."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        single = Renderer(self._mesh_cfg(shadows=True),
+                          backend="megakernel")
+        gp = Renderer(self._mesh_cfg(shadows=True),
+                      backend="megakernel_gp")
+        a, da = single.render()
+        b, db = gp.render()
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
