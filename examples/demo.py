@@ -133,6 +133,17 @@ def main():
     print(f"   {nf:,} faces, accel=bvh, streamed="
           f"{r6.scene.data.padded_faces > 16384}: {r6.last_frame_ms:.1f} ms")
 
+    # 7. geometry-parallel frame: the face soup sharded over every
+    # visible device (parallel/geometry_sharding.py) — bit-identical
+    # to the single-chip frame; only meaningful with >1 device
+    if len(jax.devices()) > 1:
+        r7 = rwrt.Renderer(cfg, backend="megakernel_gp")
+        c7, _ = r7.render(block=True)
+        save("7_terrain_gp.png", c7)
+        same = bool(np.array_equal(np.asarray(c6), np.asarray(c7)))
+        print(f"   gp over {len(jax.devices())} devices: "
+              f"{r7.last_frame_ms:.1f} ms, bitwise == single: {same}")
+
 
 if __name__ == "__main__":
     main()
