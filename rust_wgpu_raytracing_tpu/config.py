@@ -121,9 +121,11 @@ class RenderConfig:
     # closest-hit sweep + XLA shade + Pallas shadow any-hit; "fused" =
     # the whole geometric frame in ONE Pallas kernel (ops/fusedframe.py;
     # needs a VMEM-resident mesh, no normal mapping / mip). Both are
-    # bit-identical (tested) — "auto" times each over a few frames on
-    # first render and locks the faster one for this device/scene.
-    variant: str = "split"
+    # bit-identical (tested) — "auto" (the default) times each over a
+    # few frames on first render and locks the faster one for this
+    # device/scene (round-4 on-chip: fused wins 16.6 vs 57.1 ms at the
+    # dense 1080p view; ineligible scenes fall back to split).
+    variant: str = "auto"
     # Path tracing (BASELINE config 4): 0 = off (Blinn-Phong primary rays).
     pt_bounces: int = 0
     pt_spp: int = 64

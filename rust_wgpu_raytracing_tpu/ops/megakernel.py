@@ -2663,18 +2663,27 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     fused=True runs the SINGLE-KERNEL frame variant (ops/fusedframe.py
     — spheres, compositing and the shadow any-hit fused with the
     closest-hit sweep; bit-identical to this split path, tested).
-    MEASURED default is the split path: at the 1080p dense view the
-    fused shadow sweep pays a per-cluster scalar-sync latency (bound
-    reduction + scalar slab per cluster per tile) that the split
-    any-hit's host-precomputed entry-t schedule avoids — 21.9 vs
-    18.0 ms with shadows, equal without. Kept as a variant (and a
-    whole-frame consistency test) rather than the default.
+    fused=None (the default) picks the fused program whenever the scene
+    is eligible (VMEM-resident mesh, no normal mapping / mip / gp
+    staging): measured on-chip at round-4 HEAD the fused frame is
+    16.6 ms vs 57.1 ms split at the dense 1080p view — the round-3
+    (t,face) sweep redesign made the SWEEP fast (6.5 ms) but its
+    post-sweep XLA attribute gathers dominate the split program on
+    real TPU silicon, which interpret-mode timing could not see.
     """
     f_pad = scene.tri_p0.shape[0]
     eligible = (scene.num_faces > 0 and not normal_mapping
                 and f_pad <= STREAM_FACES)
     if fused is None:
-        fused = False
+        # MEASURED default (TPU v5e, round 4 on-chip): the fused
+        # single-kernel frame wins decisively at the dense 1080p view —
+        # 16.6 ms vs 57.1 ms split (BENCH artifacts; the split program's
+        # post-sweep XLA attribute gather costs ~17 ms and its remaining
+        # XLA glue ~28 ms on real hardware, invisible to interpret-mode
+        # timing). Split remains the program for everything the fused
+        # kernel can't express (streamed/oversize meshes, normal
+        # mapping, mip LOD, gp shadow-plane staging).
+        fused = eligible and not mip and not emit_shadow_planes
     if emit_shadow_planes:
         # geometry-parallel (gp) staging: stop after the shadow
         # WAVEFRONT is built — the merged winner wavefront is traced
