@@ -15,8 +15,9 @@ cam = Camera.from_config(base.camera, aspect=W/H)
 uni = jnp.asarray(cam.uniforms().flat())
 sd = Scene.build(base).data
 
-for name, kw in (("fused_shadows", dict(shadows=True)),
-                 ("fused_noshadow", dict(shadows=False)),
+for name, kw in (("fused_shadows", dict(shadows=True, fused=True)),
+                 ("default_shadows", dict(shadows=True)),
+                 ("fused_noshadow", dict(shadows=False, fused=True)),
                  ("split_shadows", dict(shadows=True, fused=False))):
     fn = lambda kw=kw: mk.render_megakernel(sd, uni, width=W, height=H, **kw)
     print(name, round(time_frames(fn, n=10), 3), flush=True)
