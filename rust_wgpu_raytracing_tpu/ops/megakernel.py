@@ -262,7 +262,13 @@ def expand_tf_gbuffer(scene: SceneData, t, face, dx, dy, dz,
     zero-initialized outputs."""
     gp = _gpack_stream(scene)
     idx = jnp.clip(face, 0, gp.shape[1] - 1)
-    a = jnp.take(gp, idx, axis=1)  # (GPACK_ROWS, R), rays on lanes
+    # Gather winners ROW-MAJOR: (ROWS, F).take(axis=1) costs one random
+    # 4-byte HBM access per row per ray (~24 wasted ~512 B transactions
+    # per ray — measured ~17 ms at 1080p dense, tools/prof_expand.py);
+    # transposing first makes each winner's attributes one contiguous
+    # ~96 B fetch. Same floats, same order of arithmetic below —
+    # bit-identical output, layout-only change.
+    a = jnp.take(gp.T, idx, axis=0).T  # (GPACK_ROWS, R), rays on lanes
     hit = jnp.isfinite(t)
 
     def m(x):
@@ -282,9 +288,8 @@ def expand_tf_gbuffer(scene: SceneData, t, face, dx, dy, dz,
     else:  # shared origin: gather the frame's exact origin-term floats
         if oterm is None:
             oterm = pack_origin_cols(scene, origin)
-        og = jnp.take(jnp.stack([oterm[:, 2], oterm[:, 3]]), idx,
-                      axis=1)
-        o1, o2 = og[0], og[1]
+        og = jnp.take(oterm[:, 2:4], idx, axis=0)  # row-major (see above)
+        o1, o2 = og[:, 0], og[:, 1]
     h1 = o1 + ts * g1d
     h2 = o2 + ts * g2d
 
