@@ -30,16 +30,34 @@ def device_sync(tree) -> float:
 
 def time_frames(frame_fn: Callable[[], object], n: int = 20,
                 warmup: int = 1) -> float:
-    """Amortized ms/frame over n pipelined dispatches (one end sync)."""
+    """Amortized ms/frame over n pipelined dispatches (one end sync).
+
+    The end sync is a host<->device round trip (~25-30 ms over the
+    tunneled backend) that has nothing to do with the device's frame
+    time, yet lands INSIDE the timed window — at n=10 that silently
+    inflated every round-2/3 number by ~3 ms/frame (the same fused
+    dense frame read 16.6 ms at n=20 and 20.9 ms at n=10 before this
+    fix). Calibrate the pure round-trip cost on an already-complete
+    result (min of 3 — the first fetch can pay connection setup) and
+    subtract it, so the figure measures the chip, not the tunnel."""
     r = None
     for _ in range(warmup):
         r = frame_fn()
     device_sync(r)
+    rt = min(_timed_sync(r) for _ in range(3))
     t0 = time.perf_counter()
     for _ in range(n):
         r = frame_fn()
     device_sync(r)
-    return (time.perf_counter() - t0) * 1e3 / n
+    return max(0.0, (time.perf_counter() - t0 - rt)) * 1e3 / n
+
+
+def _timed_sync(r) -> float:
+    """Seconds for one device_sync on an already-complete result —
+    the pure host<->device fetch latency, no device work included."""
+    t0 = time.perf_counter()
+    device_sync(r)
+    return time.perf_counter() - t0
 
 
 @dataclass
