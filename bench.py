@@ -121,21 +121,27 @@ def main():
         import time
         t0 = time.time()
         per_variant = {}
-        for name, fused in (("split", False), ("fused", True)):
-            if fused and time.time() - t0 > 480.0:
+        variant_timing = {}
+        # fused first: it is the expected winner, so if the split
+        # variant must be skipped on time budget the headline is still
+        # the real frame path's figure
+        for name, fused in (("fused", True), ("split", False)):
+            if not fused and time.time() - t0 > 480.0:
                 # cold remote compiles run 2-4.5 min each; never let the
                 # second variant push the whole bench past a driver
-                # timeout — the split figure alone is a valid headline
+                # timeout — the fused figure alone is a valid headline
                 per_variant[name] = None
-                print("# fused variant skipped: time budget", file=sys.stderr)
+                print("# split variant skipped: time budget", file=sys.stderr)
                 continue
             try:
                 fr = make_frame(fused)
                 it = iter(unis * 10)
+                det = {}
                 per_variant[name] = time_frames(
-                    lambda: fr(next(it)), n=20, warmup=2)
-            except Exception as e:  # fused path failure must not void
-                per_variant[name] = None  # the headline measurement
+                    lambda: fr(next(it)), n=20, warmup=2, details=det)
+                variant_timing[name] = det
+            except Exception as e:  # one variant's failure must not
+                per_variant[name] = None  # void the headline
                 print(f"# {name} variant failed: {e!r}"[:300],
                       file=sys.stderr)
         timed = {k: v for k, v in per_variant.items() if v is not None}
@@ -144,7 +150,9 @@ def main():
         frame = make_frame(variant == "fused")
     else:
         it = iter(unis * 10)
-        frame_ms = time_frames(lambda: frame(next(it)), n=20, warmup=2)
+        variant_timing = {"oracle": {}}
+        frame_ms = time_frames(lambda: frame(next(it)), n=20, warmup=2,
+                               details=variant_timing["oracle"])
         per_variant, variant = {}, "oracle"
 
     # sanity: the frame must actually render something dense
@@ -170,8 +178,22 @@ def main():
                   "hit_frac": round(hit_frac, 4),
                   "variant": variant,
                   "variant_ms": {k: (round(v, 3) if v is not None else None)
-                                 for k, v in per_variant.items()}},
+                                 for k, v in per_variant.items()},
+                  "git_sha": _git_sha(),
+                  # full methodology per variant: two-point windows,
+                  # raw (uncalibrated) ms/frame, idle sync round trip
+                  "timing": variant_timing},
     }))
+
+
+def _git_sha():
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True).stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
 
 
 if __name__ == "__main__":

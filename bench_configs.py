@@ -24,6 +24,20 @@ def _want(prefix) -> bool:
                            for o in ONLY)
 
 
+def _git_sha():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=__file__.rsplit("/", 1)[0], capture_output=True,
+            text=True).stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
+
+
+GIT_SHA = _git_sha()
+
+
 def bench_one(name, frame_fn, width, height, n=10, rays_factor=1.0):
     if not _want(name.split("_")[0]):
         return
@@ -31,10 +45,12 @@ def bench_one(name, frame_fn, width, height, n=10, rays_factor=1.0):
 
     from rust_wgpu_raytracing_tpu.runtime.profiler import time_frames
 
+    timing = {}
     try:
-        ms = time_frames(frame_fn, n=n, warmup=1)
+        ms = time_frames(frame_fn, n=n, warmup=1, details=timing)
     except Exception as e:  # config too big for this chip etc.
-        print(json.dumps({"config": name, "error": str(e)[:200]}))
+        print(json.dumps({"config": name, "error": str(e)[:200],
+                          "git_sha": GIT_SHA}))
         return
     rays = width * height * rays_factor
     print(json.dumps({
@@ -42,6 +58,8 @@ def bench_one(name, frame_fn, width, height, n=10, rays_factor=1.0):
         "frame_ms": round(ms, 3),
         "mrays_per_s": round(rays / ms / 1e3, 1),
         "size": [width, height],
+        "git_sha": GIT_SHA,
+        "timing": timing,
     }))
 
 
@@ -136,10 +154,32 @@ def main():
                                            interpret=interp),
                   w, h, rays_factor=10.0)  # ~5 segments + 5 shadows
 
-    # 5. 64-instance suzanne field with per-frame refit (stretch: 4K)
+    # 5. 64-instance suzanne field with per-frame refit (stretch: 4K).
+    # BOTH resolutions run (a round-4 `break` made the 1080p row dead
+    # code — advisor finding); the refit cost (instantiate = transform
+    # + SoA/cluster rebuild, the BVH-refit analogue) is also timed on
+    # its own so the render and refit halves are separable.
     inst = (InstancedScene.from_config(
         MeshConfig(obj_path="suzanne_lowpoly.obj"), 64)
         if _want("5") else None)
+    if inst is not None:
+        from rust_wgpu_raytracing_tpu.runtime.profiler import time_frames
+
+        angle_r = [0.0]
+
+        def refit_only():
+            angle_r[0] += 0.05
+            return inst.instantiate(grid_transforms(
+                64, spacing=2.5, z=-6.0, angle=angle_r[0])).tri_p0
+
+        try:
+            refit_ms = time_frames(refit_only, n=5, warmup=1)
+            print(json.dumps({"config": "5_instances64_refit_only",
+                              "refit_ms": round(refit_ms, 3),
+                              "git_sha": GIT_SHA}))
+        except Exception as e:
+            print(json.dumps({"config": "5_instances64_refit_only",
+                              "error": str(e)[:200], "git_sha": GIT_SHA}))
     for w, h, tag in (((3840, 2160, "4k"), (1920, 1080, "1080p"))
                       if _want("5") else ()):
         cfg5 = SceneConfig(camera=CameraConfig(eye=(0.0, 0.0, 18.0)),
@@ -147,7 +187,7 @@ def main():
         uni5 = uni_for(cfg5, w, h)
         angle = [0.0]
 
-        def frame5():
+        def frame5(w=w, h=h, uni5=uni5, angle=angle):
             angle[0] += 0.05
             sd = inst.instantiate(grid_transforms(
                 64, spacing=2.5, z=-6.0, angle=angle[0]))
@@ -155,7 +195,6 @@ def main():
                                      interpret=interp)
 
         bench_one(f"5_instances64_refit_{tag}", frame5, w, h, n=5)
-        break  # 4K first; fall through handled by error reporting
 
     # 6. large-scene stress: 522k-face procedural terrain (round 2).
     # Exercises the HBM-streaming kernels (face pack >> VMEM) and

@@ -31,19 +31,25 @@ gated against the oracle to the standing <=1-u8 bar, and all accel
 modes remain bit-identical (the lexicographic closest-hit merge is
 visit-order independent).
 
-MEASURED OUTCOME (TPU v5e, 1080p dense suzanne + shadows): the fused
-frame is bit-identical to the split path but 21.9 vs 18.0 ms with
-shadows and equal (15.3 vs 15.1) without — the in-kernel shadow
-cluster loop pays a scalar-sync latency per cluster (a vector->scalar
-bound reduction + ~40 scalar slab ops x nb clusters x 2040 tiles)
-that the split any-hit avoids by precomputing its entry-t schedule on
-the host in one fused XLA pass. The split path therefore stays the
-default (render_megakernel fused=None -> False); this variant remains
-available (fused=True) both as the measured record of the experiment
-and as a whole-frame consistency test: one independent implementation
-of the complete frame semantics that must (and does) reproduce the
-split pipeline bit-for-bit. Eligibility: mesh present, face pack
-VMEM-resident (<= STREAM_FACES), no normal mapping.
+MEASURED OUTCOME, two rounds (TPU v5e, 1080p dense suzanne + shadows):
+ - round 3 (pre-(t,face) sweep redesign): fused LOST, 21.9 vs 18.0 ms
+   — the in-kernel shadow cluster loop's per-cluster scalar sync
+   (vector->scalar bound reduction + ~40 scalar slab ops x nb x 2040
+   tiles) outweighed the split path's XLA glue. Split stayed default.
+ - round 4 (post-redesign, grouped bound refresh below): fused WINS
+   decisively, 16.6 vs 57.1 ms uncalibrated n=20 (15.1 vs 55.2 in
+   BENCH_r04.json) — the redesigned sweep made the kernel fast and the
+   split program's post-sweep XLA attribute gathers (~17 ms) + glue
+   (~28 ms) now dominate it on real silicon, invisible to
+   interpret-mode timing. render_megakernel's fused=None default
+   therefore picks THIS kernel whenever the scene is eligible:
+   mesh present, face pack VMEM-resident (<= STREAM_FACES),
+   no mip, no gp staging (normal mapping: fused since round 5).
+The split path remains fully supported (fused=False /
+RenderConfig.variant='split') — it is the only program for
+streamed/oversize scenes and gp shadow staging, and doubles as the
+independent whole-frame implementation that must (and does) reproduce
+this kernel bit-for-bit.
 """
 
 from __future__ import annotations

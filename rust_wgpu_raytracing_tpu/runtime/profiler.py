@@ -29,27 +29,56 @@ def device_sync(tree) -> float:
 
 
 def time_frames(frame_fn: Callable[[], object], n: int = 20,
-                warmup: int = 1) -> float:
-    """Amortized ms/frame over n pipelined dispatches (one end sync).
+                warmup: int = 1, details: Dict | None = None) -> float:
+    """Two-point amortized ms/frame (the round-5 methodology).
 
+    window(k) = wall time for k pipelined dispatches + one end sync.
     The end sync is a host<->device round trip (~25-30 ms over the
-    tunneled backend) that has nothing to do with the device's frame
-    time, yet lands INSIDE the timed window — at n=10 that silently
-    inflated every round-2/3 number by ~3 ms/frame (the same fused
-    dense frame read 16.6 ms at n=20 and 20.9 ms at n=10 before this
-    fix). Calibrate the pure round-trip cost on an already-complete
-    result (min of 3 — the first fetch can pay connection setup) and
-    subtract it, so the figure measures the chip, not the tunnel."""
+    tunneled backend) whose true additive cost is UNKNOWABLE from the
+    host: its outbound leg overlaps the device draining queued frames,
+    so subtracting a full idle round trip (the round-4 method) over-
+    corrects by up to one-way latency, and subtracting nothing (the
+    round-2/3 method) inflates by the full trip. Whatever the sync
+    costs, it is the SAME additive constant in window(n) and
+    window(n0), so
+
+        ms/frame = (window(n) - window(n0)) / (n - n0)
+
+    cancels it exactly instead of modeling it. Both windows are
+    measured twice, interleaved, and the min of each is used (tunnel
+    jitter is one-sided: stalls only add time). `details`, if given,
+    receives the raw windows + the idle round trip so artifacts can
+    carry the full methodology (VERDICT r4 weak #3)."""
     r = None
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):
         r = frame_fn()
     device_sync(r)
     rt = min(_timed_sync(r) for _ in range(3))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        r = frame_fn()
-    device_sync(r)
-    return max(0.0, (time.perf_counter() - t0 - rt)) * 1e3 / n
+
+    def window(k: int) -> float:
+        t0 = time.perf_counter()
+        rr = None
+        for _ in range(k):
+            rr = frame_fn()
+        device_sync(rr)
+        return time.perf_counter() - t0
+
+    n0 = max(1, n // 4)
+    if n <= n0:
+        n0 = 0
+    w0 = min(window(n0), window(n0)) if n0 else 0.0
+    wn = min(window(n), window(n))
+    ms = max(0.0, wn - w0) * 1e3 / (n - n0)
+    if details is not None:
+        details.update({
+            "method": "two-point-amortized r5",
+            "n": n, "n0": n0,
+            "window_n_ms": round(wn * 1e3, 3),
+            "window_n0_ms": round(w0 * 1e3, 3),
+            "raw_ms_per_frame": round(wn * 1e3 / n, 3),
+            "idle_sync_rt_ms": round(rt * 1e3, 3),
+        })
+    return ms
 
 
 def _timed_sync(r) -> float:

@@ -155,9 +155,13 @@ class Renderer:
                 def autotune(scene, uni):
                     from .profiler import time_frames
 
+                    # n=8: the two-point estimator (profiler.py) needs
+                    # window(8)-window(2) to stand clear of tunnel
+                    # jitter; at n=3 a clamped/noisy delta could make
+                    # the winner arbitrary (round-4 advisor finding)
                     self.variant_ms = {
                         name: time_frames(lambda: fn(scene, uni),
-                                          n=3, warmup=1)
+                                          n=8, warmup=1)
                         for name, fn in fns.items()}
                     self.variant_chosen = min(self.variant_ms,
                                               key=self.variant_ms.get)

@@ -102,11 +102,17 @@ def main():
     ok = True
 
     # reference live scene + shadows: closest-hit + any-hit + texturing,
-    # all accel modes must be bit-identical on the compiled path
+    # all accel modes must be bit-identical on the compiled path.
+    # fused=False PINS the split program: since the fused-by-default
+    # flip (RenderConfig.variant auto) this scene would otherwise
+    # silently run the fused kernel and duplicate the _fused case,
+    # losing on-chip split-path coverage (spheres/any-hit/compositing
+    # on the split program, still reachable via variant='split',
+    # autotune, and every streamed/nm/mip scene).
     cfg = reference_scene(256, 256, shadows=True)
     cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
     ok &= gate_case("reference_shadows_256", cfg, results,
-                    accel_modes=("cull", "brute", "bvh"))
+                    accel_modes=("cull", "brute", "bvh"), fused=False)
 
     # normal mapping: bump-pool gather + tangent frames
     cfg = SceneConfig(
@@ -132,12 +138,26 @@ def main():
         camera=CameraConfig(eye=(0.0, -2.0, -1.0), target=(0.0, 0.0, -3.2)),
         render=RenderConfig(width=256, height=256, shadows=True))
     ok &= gate_case("terrain20k_streamed_shadows_256", cfg, results,
-                    accel_modes=("cull", "bvh"))
+                    accel_modes=("cull", "bvh"), fused=False)
+
+    import subprocess
+    try:
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             cwd=REPO, capture_output=True,
+                             text=True).stdout.strip()
+        dirty = bool(subprocess.run(["git", "status", "--porcelain",
+                                     "rust_wgpu_raytracing_tpu"],
+                                    cwd=REPO, capture_output=True,
+                                    text=True).stdout.strip())
+    except OSError:
+        sha, dirty = "unknown", False
 
     out = {
         "pass": bool(ok),
         "backend": "tpu",
         "jax": jax.__version__,
+        "git_sha": sha,
+        "source_dirty": dirty,
         "cases": results,
     }
     with open(os.path.join(REPO, "PARITY_TPU.json"), "w") as fh:
