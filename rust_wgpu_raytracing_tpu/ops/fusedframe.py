@@ -45,6 +45,15 @@ MEASURED OUTCOME, two rounds (TPU v5e, 1080p dense suzanne + shadows):
    therefore picks THIS kernel whenever the scene is eligible:
    mesh present, face pack VMEM-resident (<= STREAM_FACES),
    no mip, no gp staging (normal mapping: fused since round 5).
+ - round 5: the in-kernel shadow loop itself was the next bottleneck —
+   its per-cluster scalar slab admission scales O(nb x tiles) and cost
+   ~23 ms of the combined scene's (80 clusters) 32 ms frame. The
+   'sched' shadow mode (shadow_sched in _make_frame_kernel) emits the
+   winner wavefront and traces it with the split path's scheduled
+   any-hit kernel instead: dense 1080p 17.4 -> 13.6 ms, combined
+   32.0 -> 10.3 ms, bit-identical (tested). sched is now the shadow
+   default. Normal mapping also joined the fused frame this round
+   (512p nm 10.0 -> 2.4 ms, 1080p nm 74.0 -> 8.9 ms vs split).
 The split path remains fully supported (fused=False /
 RenderConfig.variant='split') — it is the only program for
 streamed/oversize scenes and gp shadow staging, and doubles as the
@@ -68,9 +77,11 @@ from .intersect import K_EPSILON
 from .megakernel import (FPACK_COLS, TILE_R, _ah_block, _ch_block,
                          _mask_words, _mat_const, _ordered_cluster_loop,
                          _pad1, _row1, _vmem_sched, _pick_tile_shape,
-                         _texshade_pallas, gather_packed_taps,
-                         pack_face_columns, pack_origin_cols,
-                         raygen_planar, raygen_planar_tiled,
+                         _spheres_occlude_planar, _texshade_pallas,
+                         anyhit_pallas, blinn_phong_planar,
+                         gather_packed_taps, pack_face_columns,
+                         pack_origin_cols, raygen_planar,
+                         raygen_planar_tiled, sample_packed_texture,
                          tiled_to_image)
 
 F32_INF = float("inf")
@@ -139,19 +150,48 @@ def _nld(t, near, far):
 
 
 def _make_frame_kernel(ns: int, nmat: int, nb: int, block_f: int,
-                       near: float, far: float, shadows: bool):
+                       near: float, far: float, shadows: bool,
+                       nm: bool = False, shadow_sched: bool = False):
     """The fused frame kernel. Grid = ray tiles; everything between
-    raygen and the texture gather happens here (module docstring)."""
+    raygen and the texture gather happens here (module docstring).
+
+    nm=True (normal mapping, round 5) additionally merges the winner's
+    interpolated vertex normal + tangent frame out of the sweep (the
+    gpack rows already carry them — megakernel cols _C_VN/_C_TAN) and
+    emits the flipped geometric normal, 12 extra planes total; the
+    bump gather + TBN perturbation + Blinn live in the XLA tail (the
+    packed bump pool is an XLA-side texture, exactly as the split
+    path's, megakernel.py 'if normal_mapping' block). nm excludes
+    shadows: the reference-accurate shadow relevance gate and origin
+    offset need the PERTURBED normal, which needs the bump sample —
+    nm+shadows stays on the split program."""
     sph0 = _C_SPH
     mat0 = _C_SPH + _SPH_STRIDE * ns
     blk0 = mat0 + _MAT_STRIDE * nmat  # cluster AABBs: nb x 6
     shord0 = blk0 + 6 * nb  # shadow-loop cluster order (nb f32 ids)
 
     def kernel(tlb_ref, order_ref, const_ref, dx_ref, dy_ref, dz_ref,
-               texit_ref, fpack_ref, oterm_ref, dc_ref,
-               depth_ref, kind_ref, occ_ref, uvx_ref, uvy_ref, mat_ref,
-               lam_ref, spec_ref,
-               t_s, face_s, u_s, v_s, nd_s, nx_s, ny_s, nz_s):
+               texit_ref, fpack_ref, oterm_ref, dc_ref, *refs):
+        if nm:
+            (depth_ref, kind_ref, occ_ref, uvx_ref, uvy_ref, mat_ref,
+             lam_ref, spec_ref, nxo_ref, nyo_ref, nzo_ref,
+             vnx_ref, vny_ref, vnz_ref, tx_ref, ty_ref, tz_ref,
+             bx_ref, by_ref, bz_ref) = refs[:20]
+            scr = refs[20:]
+            nm_refs = (vnx_ref, vny_ref, vnz_ref, tx_ref, ty_ref,
+                       tz_ref, bx_ref, by_ref, bz_ref)
+        elif shadow_sched:
+            (depth_ref, kind_ref, occ_ref, uvx_ref, uvy_ref, mat_ref,
+             lam_ref, spec_ref, wt_ref, wnx_ref, wny_ref, wnz_ref,
+             wlx_ref, wly_ref, wlz_ref, wrel_ref) = refs[:16]
+            scr = refs[16:]
+            nm_refs = ()
+        else:
+            (depth_ref, kind_ref, occ_ref, uvx_ref, uvy_ref, mat_ref,
+             lam_ref, spec_ref) = refs[:8]
+            scr = refs[8:]
+            nm_refs = ()
+        t_s, face_s, u_s, v_s, nd_s, nx_s, ny_s, nz_s = scr
         dx = _row1(dx_ref)
         dy = _row1(dy_ref)
         dz = _row1(dz_ref)
@@ -161,7 +201,7 @@ def _make_frame_kernel(ns: int, nmat: int, nb: int, block_f: int,
         for r_ in (face_s,):
             r_[:] = jnp.zeros_like(r_)
         for r_ in (u_s, v_s, nd_s, nx_s, ny_s, nz_s,
-                   uvx_ref, uvy_ref, mat_ref):
+                   uvx_ref, uvy_ref, mat_ref) + nm_refs:
             r_[:] = jnp.zeros_like(r_)
 
         def visit(jj):
@@ -170,7 +210,8 @@ def _make_frame_kernel(ns: int, nmat: int, nb: int, block_f: int,
             o = oterm_ref[pl.ds(base, block_f), :]
             _ch_block(g, o, dx, dy, dz, jj * block_f,
                       t_s, face_s, u_s, v_s, nd_s,
-                      uvx_ref, uvy_ref, nx_s, ny_s, nz_s, mat_ref, ())
+                      uvx_ref, uvy_ref, nx_s, ny_s, nz_s, mat_ref,
+                      nm_refs)
 
         def bound():
             return jnp.max(jnp.minimum(t_s[:], texit_ref[:]))
@@ -206,8 +247,18 @@ def _make_frame_kernel(ns: int, nmat: int, nb: int, block_f: int,
                             mly)
             mlz = jnp.where(sel, const_ref[mat0 + _MAT_STRIDE * k + 2],
                             mlz)
-        m_lam, m_spec = _blinn(mnx, mny, mnz, dxr, dyr, dzr,
-                               mlx, mly, mlz)
+        if nm:
+            # the tail recomputes mesh Blinn from the PERTURBED normal
+            # (bump sample lives there); emit the flipped geometric
+            # normal it falls back to and skip the in-kernel Blinn
+            nxo_ref[:] = mnx
+            nyo_ref[:] = mny
+            nzo_ref[:] = mnz
+            m_lam = jnp.zeros_like(tm)
+            m_spec = jnp.zeros_like(tm)
+        else:
+            m_lam, m_spec = _blinn(mnx, mny, mnz, dxr, dyr, dzr,
+                                   mlx, mly, mlz)
 
         # ---- composite (reference pass order: spheres, then mesh) ----
         depth_v = jnp.ones_like(tm)
@@ -285,6 +336,26 @@ def _make_frame_kernel(ns: int, nmat: int, nb: int, block_f: int,
         occ_ref[:] = jnp.zeros_like(depth_v)
 
         if not shadows:
+            return
+
+        if shadow_sched:
+            # sched shadow mode (round 5): emit the winner wavefront
+            # ingredients; the XLA tail builds the shadow rays with the
+            # split path's exact formulas and the existing any-hit
+            # kernel traces them over its VECTORIZED per-tile
+            # entry-t schedule. Measured motivation: the in-kernel
+            # cluster loop below is ~40 scalar slab ops x nb x tiles —
+            # at 80 clusters (config 3) that is ~23 ms of the 32 ms
+            # frame, while the split program's scheduled any-hit covers
+            # the same rays in ~1 ms.
+            wt_ref[:] = win_t
+            wnx_ref[:] = win_nx
+            wny_ref[:] = win_ny
+            wnz_ref[:] = win_nz
+            wlx_ref[:] = win_lx
+            wly_ref[:] = win_ly
+            wlz_ref[:] = win_lz
+            wrel_ref[:] = win_rel
             return
 
         # ---- winner shadow wavefront, built and traced in-kernel ----
@@ -447,16 +518,28 @@ def _make_frame_kernel(ns: int, nmat: int, nb: int, block_f: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "near", "far", "background", "shadows", "quantize",
-    "accel", "interpret", "total_height"))
+    "accel", "interpret", "total_height", "normal_mapping", "shadow_mode"))
 def render_frame_fused(scene: SceneData, uni_flat, *, width: int,
                        height: int, near: float = 0.01, far: float = 100.0,
                        background=(0.0, 0.0, 0.0), shadows: bool = False,
                        quantize: bool = True, accel: str = "cull",
                        interpret: bool = False, row0=None,
-                       total_height: Optional[int] = None):
+                       total_height: Optional[int] = None,
+                       normal_mapping: bool = False,
+                       shadow_mode: str = "auto"):
     """One frame through the fused small-scene kernel (module
-    docstring). Same signature contract as render_megakernel minus
-    normal_mapping; callers dispatch on eligibility."""
+    docstring). Same signature contract as render_megakernel; callers
+    dispatch on eligibility (normal_mapping excludes shadows here —
+    see _make_frame_kernel).
+
+    shadow_mode: 'inkernel' traces shadow rays inside the frame kernel
+    (per-cluster scalar slab admission); 'sched' emits the winner
+    wavefront and traces it with the scheduled any-hit kernel
+    (megakernel.anyhit_pallas — vectorized XLA admission). Bit-identical
+    (tested); 'auto' picks by measured crossover (see module
+    docstring)."""
+    assert not (normal_mapping and shadows), \
+        "fused nm+shadows unsupported (perturbed-normal shadow gate)"
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     origin = uni.origin
     th_total = total_height or height
@@ -537,13 +620,24 @@ def render_frame_fused(scene: SceneData, uni_flat, *, width: int,
                               memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec((tile_r,), lambda i: (i,),
                             memory_space=pltpu.VMEM)
+    # shadow-mode default (measured on-chip, round 5, TPU v5e 1080p):
+    # the scheduled any-hit beats the in-kernel scalar cluster loop at
+    # EVERY cluster count — dense suzanne (16 clusters) 13.6 vs
+    # 17.4 ms, combined cube+suzanne (80 clusters) 10.3 vs 32.0 ms —
+    # because the per-(tile, cluster) admission is vectorized in XLA
+    # instead of ~40 scalar slab ops per cluster per tile. 'inkernel'
+    # remains selectable as the measured record + an independent
+    # implementation (bit-identical, tested).
+    use_sched = shadows and shadow_mode != "inkernel"
+    n_out = 20 if normal_mapping else (16 if use_sched else 8)
     out_shape = [jax.ShapeDtypeStruct((r,), jnp.float32)
-                 for _ in range(8)]
+                 for _ in range(n_out)]
     scratch = [pltpu.VMEM((tile_r,), jnp.float32) for _ in range(7)]
     scratch.insert(1, pltpu.VMEM((tile_r,), jnp.int32))  # face ids
 
     outs = pl.pallas_call(
-        _make_frame_kernel(ns, nmat, nb, block_f, near, far, shadows),
+        _make_frame_kernel(ns, nmat, nb, block_f, near, far, shadows,
+                           nm=normal_mapping, shadow_sched=use_sched),
         grid=grid,
         in_specs=[
             sched_spec, sched_spec, const_spec,
@@ -555,13 +649,14 @@ def render_frame_fused(scene: SceneData, uni_flat, *, width: int,
             pl.BlockSpec((f, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[ray_spec] * 8,
+        out_specs=[ray_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(tlb, order, const, dxp, dyp, dzp, texit, fpack, oterm, dc)
 
-    depth, kind, occ, uvx, uvy, mat, lam, spec = [o[:nrays] for o in outs]
+    outs = [o[:nrays] for o in outs]
+    depth, kind, occ, uvx, uvy, mat, lam, spec = outs[:8]
 
     # ---- XLA tail: one texture gather + final select ----
     bg = jnp.asarray(background, jnp.float32)
@@ -574,12 +669,78 @@ def render_frame_fused(scene: SceneData, uni_flat, *, width: int,
     spc_r = _mat_const(scene, mat, lambda k: scene.mat_specular[k, 0])
     spc_g = _mat_const(scene, mat, lambda k: scene.mat_specular[k, 1])
     spc_b = _mat_const(scene, mat, lambda k: scene.mat_specular[k, 2])
+
+    lam_mesh, spec_mesh = lam, spec
+    if normal_mapping:
+        # mirror the split program's nm block float-for-float
+        # (megakernel.py 'if normal_mapping': vertex-normal smoothing,
+        # sign alignment, map_Bump TBN perturbation, Blinn re-derive)
+        (nxg, nyg, nzg, vnxp, vnyp, vnzp,
+         txp, typ, tzp, bxp, byp, bzp) = outs[8:20]
+        nx, ny, nz = nxg, nyg, nzg
+        vl2 = vnxp ** 2 + vnyp ** 2 + vnzp ** 2
+        has_vn = vl2 > 1e-12
+        inv = 1.0 / jnp.sqrt(jnp.where(has_vn, vl2, 1.0))
+        vnx, vny, vnz = vnxp * inv, vnyp * inv, vnzp * inv
+        sgn = jnp.where(vnx * nx + vny * ny + vnz * nz < 0.0, -1.0, 1.0)
+        nx = jnp.where(has_vn, vnx * sgn, nx)
+        ny = jnp.where(has_vn, vny * sgn, ny)
+        nz = jnp.where(has_vn, vnz * sgn, nz)
+
+        bump_base = _mat_const(scene, mat,
+                               lambda k: scene.mat_bump_base[k])
+        has_bump = bump_base >= 0
+        b_h = _mat_const(scene, mat, lambda k: scene.mat_bump_h[k])
+        b_w = _mat_const(scene, mat, lambda k: scene.mat_bump_w[k])
+        br, bg_, bb_ = sample_packed_texture(
+            scene.tex_packed_bump, jnp.maximum(bump_base, 0),
+            b_h, b_w, uvx, 1.0 - uvy, interpret=interpret)
+        ntx, nty, ntz = 2.0 * br - 1.0, 2.0 * bg_ - 1.0, 2.0 * bb_ - 1.0
+        frame_ok = txp ** 2 + typ ** 2 + tzp ** 2 > 1e-12
+        px_ = ntx * txp + nty * bxp + ntz * nx
+        py_ = ntx * typ + nty * byp + ntz * ny
+        pz_ = ntx * tzp + nty * bzp + ntz * nz
+        plen = jnp.sqrt(px_ ** 2 + py_ ** 2 + pz_ ** 2)
+        use = has_bump & frame_ok & (plen > 1e-12)
+        plen_s = jnp.where(plen > 1e-12, plen, 1.0)
+        nx = jnp.where(use, px_ / plen_s, nx)
+        ny = jnp.where(use, py_ / plen_s, ny)
+        nz = jnp.where(use, pz_ / plen_s, nz)
+
+        lightx = _mat_const(scene, mat, lambda k: scene.mat_light[k, 0])
+        lighty = _mat_const(scene, mat, lambda k: scene.mat_light[k, 1])
+        lightz = _mat_const(scene, mat, lambda k: scene.mat_light[k, 2])
+        lam_mesh, spec_mesh = blinn_phong_planar(
+            nx, ny, nz, dx, dy, dz, (lightx, lighty, lightz))
+
     taps, fxw, fyw = gather_packed_taps(scene.tex_packed, tex_base,
                                         hw_h, hw_w, uvx, 1.0 - uvy)
-    mr, mg, mb = _texshade_pallas(taps, fxw, fyw, lam, spec,
+    mr, mg, mb = _texshade_pallas(taps, fxw, fyw, lam_mesh, spec_mesh,
                                   amb_r, amb_g, amb_b,
                                   spc_r, spc_g, spc_b,
                                   interpret=interpret)
+
+    if use_sched:
+        # scheduled shadow trace: the split path's exact wavefront
+        # formulas (megakernel.py shadow tail) + its any-hit kernel
+        w_t, w_nx, w_ny, w_nz, w_lx, w_ly, w_lz, w_rel = outs[8:16]
+        covered = kind > 0.0
+        relevant = covered & (w_rel > 0.0)
+        ll = jnp.sqrt(w_lx * w_lx + w_ly * w_ly + w_lz * w_lz)
+        ll = jnp.where(ll > 0, ll, 1.0)
+        park = 1e9
+        sdx = jnp.where(relevant, -w_lx / ll, 0.0)
+        sdy = jnp.where(relevant, -w_ly / ll, 0.0)
+        sdz = jnp.where(relevant, -w_lz / ll, 0.0)
+        ts = jnp.where(relevant, w_t, 0.0)
+        px = jnp.where(relevant, origin[0] + dx * ts + w_nx * 1e-3, park)
+        py = jnp.where(relevant, origin[1] + dy * ts + w_ny * 1e-3, park)
+        pz = jnp.where(relevant, origin[2] + dz * ts + w_nz * 1e-3, park)
+        occ_b = anyhit_pallas(scene, px, py, pz, sdx, sdy, sdz, relevant,
+                              interpret=interpret, accel=accel)
+        occ_b = occ_b | _spheres_occlude_planar(scene, px, py, pz,
+                                                sdx, sdy, sdz)
+        occ = occ_b.astype(jnp.float32)
 
     cr = jnp.full((nrays,), bg[0])
     cg = jnp.full((nrays,), bg[1])

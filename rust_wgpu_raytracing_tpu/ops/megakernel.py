@@ -2677,17 +2677,20 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
     real TPU silicon, which interpret-mode timing could not see.
     """
     f_pad = scene.tri_p0.shape[0]
-    eligible = (scene.num_faces > 0 and not normal_mapping
-                and f_pad <= STREAM_FACES)
+    eligible = (scene.num_faces > 0 and f_pad <= STREAM_FACES
+                and not (normal_mapping and shadows))
     if fused is None:
         # MEASURED default (TPU v5e, round 4 on-chip): the fused
         # single-kernel frame wins decisively at the dense 1080p view —
         # 16.6 ms vs 57.1 ms split (BENCH artifacts; the split program's
         # post-sweep XLA attribute gather costs ~17 ms and its remaining
         # XLA glue ~28 ms on real hardware, invisible to interpret-mode
-        # timing). Split remains the program for everything the fused
-        # kernel can't express (streamed/oversize meshes, normal
-        # mapping, mip LOD, gp shadow-plane staging).
+        # timing). Round 5 extends the fused frame to normal mapping
+        # (tangent frames merged out of the sweep, bump gather in the
+        # XLA tail). Split remains the program for everything the fused
+        # kernel can't express (streamed/oversize meshes, nm+shadows —
+        # the shadow gate needs the perturbed normal — mip LOD, gp
+        # shadow-plane staging).
         fused = eligible and not mip and not emit_shadow_planes
     if emit_shadow_planes:
         # geometry-parallel (gp) staging: stop after the shadow
@@ -2697,14 +2700,15 @@ def render_megakernel(scene: SceneData, uni_flat, *, width: int, height: int,
             "emit_shadow_planes stages the split shadowed frame"
     if fused:
         assert eligible and not mip, \
-            "fused frame needs a VMEM-resident mesh, no nm, no mip"
+            "fused frame needs a VMEM-resident mesh, no nm+shadows, no mip"
         from .fusedframe import render_frame_fused
 
         return render_frame_fused(
             scene, uni_flat, width=width, height=height, near=near,
             far=far, background=background, shadows=shadows,
             quantize=quantize, accel=accel, interpret=interpret,
-            row0=row0, total_height=total_height)
+            row0=row0, total_height=total_height,
+            normal_mapping=normal_mapping)
 
     uni = CameraUniforms.unflat(jnp.asarray(uni_flat, jnp.float32))
     origin = uni.origin

@@ -132,18 +132,20 @@ class Renderer:
             variant = getattr(rc, "variant", "split")
             if variant not in ("split", "fused", "auto"):
                 raise ValueError(f"unknown frame variant {variant!r}")
-            if variant == "fused" and (rc.mip or nm):
+            if variant == "fused" and (rc.mip or (nm and rc.shadows)):
                 raise ValueError(
-                    "variant='fused' needs a plain VMEM frame (no mip, "
-                    "no normal mapping) — use 'split' or 'auto'")
+                    "variant='fused' needs a VMEM frame without mip or "
+                    "nm+shadows — use 'split' or 'auto'")
             if variant == "auto":
                 # two bit-identical frame programs exist (split / fused,
                 # see RenderConfig.variant); which is faster depends on
                 # the device and scene. Eligibility first (the fused
-                # kernel needs a VMEM-resident mesh, no nm/mip) — then
-                # the first render() times both and locks the winner.
+                # kernel needs a VMEM-resident mesh, no mip, no
+                # nm+shadows) — then the first render() times both and
+                # locks the winner.
                 sd = self.scene.data
-                if not (sd.num_faces > 0 and not rc.mip and not nm
+                if not (sd.num_faces > 0 and not rc.mip
+                        and not (nm and rc.shadows)
                         and sd.tri_p0.shape[0] <= STREAM_FACES):
                     variant = "split"
             if variant != "auto":

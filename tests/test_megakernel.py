@@ -165,6 +165,57 @@ class TestRenderParity:
         np.testing.assert_array_equal(np.asarray(ds), np.asarray(df))
 
     @needs_assets
+    def test_fused_shadow_modes_bit_identical(self):
+        """Both fused shadow strategies — the in-kernel cluster loop
+        and the scheduled any-hit (round 5, ops/fusedframe.py
+        shadow_mode) — must agree BIT-for-bit with each other and the
+        split program."""
+        from rust_wgpu_raytracing_tpu.ops.fusedframe import \
+            render_frame_fused
+
+        cfg = reference_scene(64, 64, shadows=True)
+        cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 0.9)))
+        scene = Scene.build(cfg)
+        uni = Camera.from_config(cfg.camera, aspect=1.0).uniforms().flat()
+        kw = dict(width=64, height=64, shadows=True, interpret=True)
+        c_ik, d_ik = render_frame_fused(scene.data, uni,
+                                        shadow_mode="inkernel", **kw)
+        c_sc, d_sc = render_frame_fused(scene.data, uni,
+                                        shadow_mode="sched", **kw)
+        c_sp, d_sp = render_megakernel(scene.data, uni, fused=False, **kw)
+        np.testing.assert_array_equal(np.asarray(c_ik), np.asarray(c_sc))
+        np.testing.assert_array_equal(np.asarray(d_ik), np.asarray(d_sc))
+        np.testing.assert_array_equal(np.asarray(c_sp), np.asarray(c_sc))
+        np.testing.assert_array_equal(np.asarray(d_sp), np.asarray(d_sc))
+
+    @needs_assets
+    def test_fused_normal_mapping_bit_identical_to_split(self):
+        """Round 5: the fused frame's nm path (tangent frames merged
+        out of the sweep + XLA bump tail) reproduces the split
+        program's nm frame bit-for-bit and the oracle to <=1 u8."""
+        from rust_wgpu_raytracing_tpu.config import (MeshConfig,
+                                                     RenderConfig,
+                                                     SceneConfig)
+
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="cube.obj",
+                               translation=(0.0, 0.0, -3.0), scale=0.75,
+                               normal_mapping=True),),
+            render=RenderConfig(width=64, height=64))
+        scene = Scene.build(cfg)
+        uni = Camera.from_config(cfg.camera, aspect=1.0).uniforms().flat()
+        kw = dict(width=64, height=64, normal_mapping=True,
+                  interpret=True)
+        cs, ds = render_megakernel(scene.data, uni, fused=False, **kw)
+        cf, df = render_megakernel(scene.data, uni, fused=True, **kw)
+        np.testing.assert_array_equal(np.asarray(cs), np.asarray(cf))
+        np.testing.assert_array_equal(np.asarray(ds), np.asarray(df))
+        co, _ = render_oracle(scene.data, uni, width=64, height=64,
+                              normal_mapping=True)
+        diff = np.abs(np.asarray(co) - np.asarray(cf)) * 255.0
+        assert diff.max() <= 1.5, f"max u8 diff {diff.max()}"
+
+    @needs_assets
     def test_fused_sphere_winner_matches_sequential(self):
         """The in-kernel sphere fusion must pick EXACTLY the sphere the
         sequential composite would: winner by strict nonlinear depth

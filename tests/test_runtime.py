@@ -445,9 +445,21 @@ class TestBackendFlags:
         b, _ = nm.render()
         assert not np.array_equal(np.asarray(a), np.asarray(b))
 
-    def test_fused_variant_rejects_nm(self):
+    def test_fused_variant_nm(self):
+        """Round 5: the fused frame supports normal mapping (bitwise
+        equal to the split program); nm+shadows stays split-only (the
+        shadow relevance gate needs the perturbed normal)."""
+        rf = Renderer(self._mesh_cfg(nm=True, variant="fused"),
+                      backend="megakernel")
+        rs = Renderer(self._mesh_cfg(nm=True, variant="split"),
+                      backend="megakernel")
+        cf, df = rf.render()
+        cs, ds = rs.render()
+        np.testing.assert_array_equal(np.asarray(cf), np.asarray(cs))
+        np.testing.assert_array_equal(np.asarray(df), np.asarray(ds))
         with pytest.raises(ValueError):
-            Renderer(self._mesh_cfg(nm=True, variant="fused"),
+            Renderer(self._mesh_cfg(nm=True, shadows=True,
+                                    variant="fused"),
                      backend="megakernel")
 
     def test_megakernel_gp_backend_matches_single(self):

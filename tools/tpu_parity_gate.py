@@ -114,13 +114,19 @@ def main():
     ok &= gate_case("reference_shadows_256", cfg, results,
                     accel_modes=("cull", "brute", "bvh"), fused=False)
 
-    # normal mapping: bump-pool gather + tangent frames
+    # normal mapping: bump-pool gather + tangent frames. Since round 5
+    # nm scenes default to the FUSED program (tangent frames merged
+    # out of the sweep) — gate both programs: the unpinned case runs
+    # the shipping default (fused), the pinned one keeps split-nm
+    # coverage.
     cfg = SceneConfig(
         meshes=(MeshConfig(obj_path="cube.obj", translation=(0.0, 0.0, -3.0),
                            scale=0.75, normal_mapping=True),),
         render=RenderConfig(width=256, height=256))
-    ok &= gate_case("cube_normal_mapping_256", cfg, results,
+    ok &= gate_case("cube_normal_mapping_fused_256", cfg, results,
                     normal_mapping=True)
+    ok &= gate_case("cube_normal_mapping_split_256", cfg, results,
+                    normal_mapping=True, fused=False)
 
     # fused single-kernel frame (ops/fusedframe.py): spheres + sweep +
     # in-kernel shadow loop + compositing in ONE Mosaic program — a
