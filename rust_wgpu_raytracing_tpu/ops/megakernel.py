@@ -808,12 +808,26 @@ def extend_shadow_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz,
 
     (dxp, dyp, dzp, oxp, oyp, ozp,
      sdxp, sdyp, sdzp, soxp, soyp, sozp) = planes
+    # ACT-AWARE tile bounds on both wavefronts (round 5): `active` is
+    # the live set of BOTH ray sets (extension rays park at far with
+    # zero dirs; shadow occlusion is act-gated in-kernel and in the
+    # caller), and PT wavefronts go sparse fast — by bounce 1 of
+    # BASELINE config 4 only ~5% of lanes live. Without act, one
+    # parked ray (origin 1e9) in a tile blows its origin interval open
+    # (admits every cluster), and the 95% miss rays' shadow origins sit
+    # at the PREVIOUS hit point / camera origin with a real light dir,
+    # so words_b degenerated to a full-frame sweep: the fused kernel
+    # measured ~30 ms/bounce of dead-lane sweeping at 1080p
+    # (tools/prof_pt4.py). Bit-exact: parked rays have zero directions
+    # (can hit nothing), inactive shadow rays' occ is act-masked at
+    # every consumer, and active rays' bounds are unchanged.
+    actb = act > 0
     words_a, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
                                   dxp, dyp, dzp, tile_r, block_f, f,
-                                  interpret)
+                                  interpret, act=actb)
     words_b, _ = _mask_words(scene, accel, soxp, soyp, sozp,
                              sdxp, sdyp, sdzp, tile_r, block_f, f,
-                             interpret)
+                             interpret, act=actb)
     mask = words_a | words_b  # union of the two wavefronts' masks
 
     grid = (r // tile_r,)
@@ -2087,12 +2101,21 @@ def gbuffer_perray_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, *,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "block_f",
-                                             "interpret", "accel", "stream"))
+                                             "interpret", "accel",
+                                             "stream", "act_cull"))
 def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
                   tile_r: int = TILE_R, block_f: Optional[int] = None,
                   interpret: bool = False, accel: str = "cull",
-                  stream: Optional[bool] = None):
-    """Planar any-hit: returns (R,) bool occlusion for per-ray origins."""
+                  stream: Optional[bool] = None,
+                  act_cull: Optional[bool] = None):
+    """Planar any-hit: returns (R,) bool occlusion for per-ray origins.
+
+    act_cull: fold the activity mask into the tile cull bounds
+    (inactive rays' occlusion is act-gated in-kernel, so this is exact
+    for every consumed output). None = only at streaming scale (the
+    historical default — see the comment below); the path tracer's
+    last-bounce NEE passes True because its wavefronts are mostly-dead
+    (tools/prof_pt4.py: ~5% live at BASELINE config 4's viewpoint)."""
     f = scene.tri_p0.shape[0]
     block_f = _natural_block_f(scene, f) if block_f is None \
         else min(block_f, f)
@@ -2117,10 +2140,12 @@ def anyhit_pallas(scene: SceneData, ox, oy, oz, dx, dy, dz, active, *,
     # tile admits the WHOLE scene (16k clusters on the terrain), while a
     # small scene's "whole scene" is a handful of clusters — there the
     # extra where-masked reductions cost more than they save
+    if act_cull is None:
+        act_cull = stream
     mask, nwords = _mask_words(scene, accel, oxp, oyp, ozp,
                                dxp, dyp, dzp, tile_r, block_f, f,
                                interpret,
-                               act=(act > 0) if stream else None)
+                               act=(act > 0) if act_cull else None)
 
     grid = (r // tile_r,)
     if stream:

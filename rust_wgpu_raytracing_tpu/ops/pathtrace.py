@@ -304,10 +304,16 @@ def render_pathtrace(scene: SceneData, uni_flat, key, *, width: int,
                     scene, nox, noy, noz, ndx, ndy, ndz,
                     px, py, pz, sdx, sdy, sdz, hit, interpret=interpret)
             elif has_mesh:
+                # act_cull=True on the VMEM any-hit: the last-bounce
+                # shadow wavefront is mostly dead lanes (miss rays keep
+                # a REAL light direction — only the act bound stops
+                # them inflating every tile's cull interval; see
+                # extend_shadow_pallas round-5 note)
                 ah = ah_fn or (anyhit_reordered_pallas
                                if _should_stream(scene.padded_faces,
                                                  BLOCK_F)
-                               else anyhit_pallas)
+                               else functools.partial(anyhit_pallas,
+                                                      act_cull=True))
                 occ = ah(scene, px, py, pz, sdx, sdy, sdz, hit,
                          interpret=interpret)
             occ = occ | _spheres_occlude_planar(scene, px, py, pz,
