@@ -2569,10 +2569,23 @@ def _texshade_pallas(taps, fx, fy, lam, spec, ar, ag, ab, sr, sg, sb, *,
     return tuple(o[:nrays] for o in outs)
 
 
+TEX_ROW_GATHER = __import__("os").environ.get("RT_TEX_ROW_GATHER",
+                                              "0") == "1"
+
+
 def gather_packed_taps(pool, base, hw_h, hw_w, u, v):
     """Compute clamped texel address + fractional weights and run THE one
     gather: returns (taps (12,R) u16, fx, fy). Shared by the plain filter
-    and the fused filter+shade paths."""
+    and the fused filter+shade paths.
+
+    RT_TEX_ROW_GATHER=1 gathers ROWS of the transposed pool instead of
+    (12,1) columns of the (12, N) pool — each ray's 2x2 neighborhood
+    becomes one contiguous 24 B fetch instead of 12 strided 2 B reads
+    (the af76be6 gpack treatment applied to texels). The per-frame pool
+    transpose is ~6 MB (cheap) and is pinned behind an
+    optimization_barrier so XLA cannot fold it back into the gather's
+    index map and reproduce the column layout. Flag-gated pending the
+    on-chip A/B (tools/prof_texgather.py)."""
     x = u * hw_w - 0.5
     y = v * hw_h - 0.5
     x0f = jnp.floor(x)
@@ -2582,6 +2595,15 @@ def gather_packed_taps(pool, base, hw_h, hw_w, u, v):
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, (hw_w - 1.0).astype(jnp.int32))
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, (hw_h - 1.0).astype(jnp.int32))
     flat = base.astype(jnp.int32) + y0 * hw_w.astype(jnp.int32) + x0
+    if TEX_ROW_GATHER:
+        pool_t = jax.lax.optimization_barrier(pool.T)  # (N, 12) u16
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,))
+        taps_r = jax.lax.gather(
+            pool_t, flat[:, None], dn, slice_sizes=(1, pool.shape[0]),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # (R, 12)
+        return taps_r.T, fx, fy
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(0,), collapsed_slice_dims=(1,), start_index_map=(1,))
     taps = jax.lax.gather(pool, flat[:, None], dn, slice_sizes=(12, 1),
