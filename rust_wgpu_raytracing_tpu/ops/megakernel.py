@@ -61,6 +61,10 @@ F32_INF = float("inf")  # captured inside a pallas kernel body
 # onto grid steps.
 TILE_R = 1024
 BLOCK_F = 32
+# expand_tf_gbuffer one-hot-MXU winner fetch cutoff: the contraction's
+# cost grows with F while the gather's is flat (~9 ms at 1080p), so
+# small tables take the MXU (128 faces: 1.24 ms) and large ones gather
+ONEHOT_EXPAND_MAX_F = 512
 
 # fpack column layout (per face), see pack_face_columns()
 _C_N = 0  # 0-2   N (unnormalized geometric normal)
@@ -262,13 +266,24 @@ def expand_tf_gbuffer(scene: SceneData, t, face, dx, dy, dz,
     zero-initialized outputs."""
     gp = _gpack_stream(scene)
     idx = jnp.clip(face, 0, gp.shape[1] - 1)
-    # Gather winners ROW-MAJOR: (ROWS, F).take(axis=1) costs one random
-    # 4-byte HBM access per row per ray (~24 wasted ~512 B transactions
-    # per ray — measured ~17 ms at 1080p dense, tools/prof_expand.py);
-    # transposing first makes each winner's attributes one contiguous
-    # ~96 B fetch. Same floats, same order of arithmetic below —
-    # bit-identical output, layout-only change.
-    a = jnp.take(gp.T, idx, axis=0).T  # (GPACK_ROWS, R), rays on lanes
+    # Winner fetch, two regimes (round 5, tools/prof_pt_gathers.py):
+    # small face tables ride the MXU — a {0,1} one-hot contraction at
+    # HIGHEST precision selects each f32 BIT-EXACTLY (per output
+    # exactly one term is x*1.0, the rest x*0.0; no rounding exists to
+    # apply — verified == against the gather on-chip and on CPU) and
+    # costs 1.24 ms vs 8.9 ms at 1080p: gathers price per INDEX
+    # (~4 ns even for all-zero indices) while the MXU contraction is
+    # bandwidth-priced. Cost scales with F, so big tables keep the
+    # row-major gather ((ROWS, F).T first — each winner one contiguous
+    # ~148 B fetch instead of ROWS strided 4 B reads, the af76be6 fix).
+    oh = None
+    if gp.shape[1] <= ONEHOT_EXPAND_MAX_F:
+        oh = (idx[:, None] == jnp.arange(gp.shape[1], dtype=idx.dtype)
+              [None, :]).astype(jnp.float32)
+        a = jax.lax.dot_general(oh, gp.T, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST).T
+    else:
+        a = jnp.take(gp.T, idx, axis=0).T  # (GPACK_ROWS, R)
     hit = jnp.isfinite(t)
 
     def m(x):
@@ -288,7 +303,12 @@ def expand_tf_gbuffer(scene: SceneData, t, face, dx, dy, dz,
     else:  # shared origin: gather the frame's exact origin-term floats
         if oterm is None:
             oterm = pack_origin_cols(scene, origin)
-        og = jnp.take(oterm[:, 2:4], idx, axis=0)  # row-major (see above)
+        if oh is not None:  # same one-hot, same exactness argument
+            og = jax.lax.dot_general(oh, oterm[:, 2:4],
+                                     (((1,), (0,)), ((), ())),
+                                     precision=jax.lax.Precision.HIGHEST)
+        else:
+            og = jnp.take(oterm[:, 2:4], idx, axis=0)  # row-major
         o1, o2 = og[:, 0], og[:, 1]
     h1 = o1 + ts * g1d
     h2 = o2 + ts * g2d

@@ -134,6 +134,47 @@ class TestRenderParity:
         assert diff.max() <= 1.5, f"max u8 diff {diff.max()}"  # <=1 u8 level
 
     @needs_assets
+    def test_expand_onehot_bitexact_vs_gather(self, monkeypatch):
+        """expand_tf_gbuffer's two winner-fetch regimes (one-hot MXU
+        contraction vs row gather) must agree bit-for-bit: the one-hot
+        dot at HIGHEST precision selects without rounding (exactly one
+        term per output is x*1.0). Both per-ray-origin (bounce) and
+        shared-origin h-plane branches."""
+        from rust_wgpu_raytracing_tpu.ops import megakernel as mk
+
+        cfg = reference_scene(40, 40)
+        cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
+        sd = Scene.build(cfg).data
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = cam.uniforms().flat()
+        from rust_wgpu_raytracing_tpu.core.camera import CameraUniforms
+        uo = CameraUniforms.unflat(jnp.asarray(uni, jnp.float32))
+        d = ray_directions(40, 40, uo)
+        dx, dy, dz = (d[..., i].reshape(-1) for i in range(3))
+        gb = mk.gbuffer_pallas(sd, uo.origin, dx, dy, dz,
+                               interpret=True)
+        t = jnp.where(jnp.isfinite(gb.t), gb.t, jnp.float32(np.inf))
+        f = sd.tri_p0.shape[0]
+        assert f <= mk.ONEHOT_EXPAND_MAX_F  # default regime: one-hot
+
+        for kw in (dict(oxyz=(dx, dy, dz)),
+                   dict(origin=uo.origin)):
+            a = mk.expand_tf_gbuffer(sd, t, gb.face, dx, dy, dz,
+                                     with_nm=True, **kw)
+            monkeypatch.setattr(mk, "ONEHOT_EXPAND_MAX_F", 0)
+            b = mk.expand_tf_gbuffer(sd, t, gb.face, dx, dy, dz,
+                                     with_nm=True, **kw)
+            monkeypatch.undo()
+            for name in ("t", "face", "u", "v", "nd", "uvx", "uvy",
+                         "nx", "ny", "nz", "mat", "vnx", "vny", "vnz",
+                         "tx", "ty", "tz", "bx", "by", "bz"):
+                av, bv = getattr(a, name, None), getattr(b, name, None)
+                if av is None:
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(av), np.asarray(bv), err_msg=name)
+
+    @needs_assets
     def test_shadows_run(self):
         cfg = reference_scene(32, 32, shadows=True)
         cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 2.5)))
