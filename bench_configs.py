@@ -151,7 +151,8 @@ def main():
         bench_one("4_pathtrace_1080p_4bounce_1spp",
                   lambda: render_pathtrace(sd4, uni4, key, width=w,
                                            height=h, bounces=4, spp=1,
-                                           interpret=interp),
+                                           interpret=interp,
+                                           compact_cap="auto"),
                   w, h, rays_factor=10.0)  # ~5 segments + 5 shadows
 
     # 5. 64-instance suzanne field with per-frame refit (stretch: 4K).

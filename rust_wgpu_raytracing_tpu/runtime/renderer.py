@@ -88,11 +88,15 @@ class Renderer:
                 # they execute in interpret mode
                 # accumulation rides inside the render jit (a separate
                 # eager add costs a ~3 ms dispatch on tunneled backends)
+                # compact_cap="auto": post-primary hit-wavefront
+                # compaction (4x on BASELINE config 4; bit-identical,
+                # falls back in-jit on dense views — ops/pathtrace.py)
                 self._accum = render_pathtrace(
                     scene, uni, key, width=self.width, height=self.height,
                     bounces=rc.pt_bounces, spp=spp,
                     background=tuple(self.config.background),
-                    interpret=interactive_interpret, accum=self._accum)
+                    interpret=interactive_interpret, accum=self._accum,
+                    compact_cap="auto")
                 self._spp_done += spp
                 color = self._accum / self._spp_done
                 return color, depth

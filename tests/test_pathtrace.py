@@ -84,6 +84,63 @@ class TestPathtrace:
         assert top > bottom * 1.5 + 1e-5
 
 
+class TestCompaction:
+    def test_uniform_at_matches_jax(self):
+        """uniform_at(key, iota)[i] must be BIT-identical to
+        jax.random.uniform(key, (n,))[i] — the compacted wavefront
+        draws its bounce uniforms by lane id through this replica of
+        the partitionable threefry. If a JAX upgrade changes the PRNG
+        construction this fails loudly (ops/pathtrace.py::uniform_at)."""
+        from rust_wgpu_raytracing_tpu.ops.pathtrace import uniform_at
+
+        for seed in (0, 7, 123456):
+            key = jax.random.PRNGKey(seed)
+            for n in (8, 129, 4096):
+                ref = np.asarray(jax.random.uniform(key, (n,)))
+                ids = jnp.arange(n, dtype=jnp.int32)
+                got = np.asarray(uniform_at(key, ids))
+                np.testing.assert_array_equal(got, ref)
+                # and by arbitrary (shuffled, repeated) ids
+                pick = np.asarray([3, 3, n - 1, 0, 5], np.int32)
+                got2 = np.asarray(uniform_at(key, jnp.asarray(pick)))
+                np.testing.assert_array_equal(got2, ref[pick])
+
+    def test_compact_bitidentical_to_full(self):
+        """compact_cap must not change a single bit: cap=r engages the
+        compacted branch for sure (live count <= r always), cap=8
+        overflows into the in-jit full fallback."""
+        scene, cfg = pt_scene(32, 32)
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = cam.uniforms().flat()
+        kw = dict(width=32, height=32, bounces=2, spp=2, interpret=True)
+        ref = np.asarray(render_pathtrace(scene.data, uni, KEY, **kw))
+        compacted = np.asarray(render_pathtrace(
+            scene.data, uni, KEY, compact_cap=32 * 32, **kw))
+        np.testing.assert_array_equal(compacted, ref)
+        overflow = np.asarray(render_pathtrace(
+            scene.data, uni, KEY, compact_cap=8, **kw))
+        np.testing.assert_array_equal(overflow, ref)
+
+    def test_compact_mesh_only_scene(self):
+        """No spheres (the config-4 shape), 64x64 = four 1024-lane ray
+        tiles with the cube off-center so some tiles are DEAD — the
+        tile-compaction actually drops tiles here."""
+        cfg = SceneConfig(
+            meshes=(MeshConfig(obj_path="builtin:cube",
+                               translation=(0.8, 0.8, -3.0),
+                               scale=0.8),),
+            render=RenderConfig(width=64, height=64))
+        scene = Scene.build(cfg)
+        cam = Camera.from_config(cfg.camera, aspect=1.0)
+        uni = cam.uniforms().flat()
+        kw = dict(width=64, height=64, bounces=3, spp=1, interpret=True,
+                  background=(0.1, 0.2, 0.3))
+        ref = np.asarray(render_pathtrace(scene.data, uni, KEY, **kw))
+        got = np.asarray(render_pathtrace(scene.data, uni, KEY,
+                                          compact_cap=2 * 1024, **kw))
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestRendererProgressive:
     def test_progressive_accumulates_and_resets(self):
         from rust_wgpu_raytracing_tpu.runtime.renderer import Renderer
