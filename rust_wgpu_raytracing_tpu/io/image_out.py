@@ -14,6 +14,8 @@ flip vertically.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..core.math3d import linear_to_srgb
@@ -27,6 +29,39 @@ def framebuffer_to_image(fb: np.ndarray, srgb: bool = True) -> np.ndarray:
         rgb = linear_to_srgb(rgb)
     img = (rgb * 255.0 + 0.5).astype(np.uint8)
     return img[::-1]  # texel row 0 is screen bottom -> image bottom
+
+
+def encode_u8_device(color, srgb: bool = True):
+    """DEVICE-side present encode: (H,W,3|4) f32 framebuffer -> (H,W,3)
+    u8, still bottom-up (callers flip with a free host-side [::-1] view).
+
+    Why it exists (round 5, measured): `present_image` used to
+    `device_get` the f32 framebuffer and encode on host — 24.9 MB per
+    1080p frame over the host<->device link. On the tunneled bench chip
+    (~29 MB/s) that made the interactive shells ~1 fps at 1080p while
+    the render itself took 13.7 ms. Quantizing on device moves 4x less
+    (6.2 MB) and is the present pass a GPU does anyway (the reference
+    encodes to its sRGB swapchain in the raster pass,
+    src/lib.rs:310-315 + screenquad.wgsl).
+
+    Parity note: XLA's pow may differ from numpy's by 1 ulp, so a pixel
+    sitting exactly on a quantization boundary can come out 1 u8 level
+    off the host encode. Goldens and the parity gate therefore keep
+    using the host `framebuffer_to_image`; the interactive present path
+    uses this (tests pin device-vs-host <= 1 level,
+    tests/test_runtime.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("srgb",))
+    def _enc(fb, srgb):
+        rgb = jnp.clip(fb[..., :3].astype(jnp.float32), 0.0, 1.0)
+        if srgb:
+            rgb = jnp.where(rgb <= 0.0031308, rgb * 12.92,
+                            1.055 * rgb ** (1.0 / 2.4) - 0.055)
+        return (rgb * 255.0 + 0.5).astype(jnp.uint8)
+
+    return _enc(color, srgb)
 
 
 def write_png(path: str, fb: np.ndarray, srgb: bool = True) -> None:

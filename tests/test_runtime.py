@@ -476,3 +476,46 @@ class TestBackendFlags:
         b, db = gp.render()
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+
+class TestDevicePresentEncode:
+    """present_image's device-side u8 quantize (round 5: it replaced a
+    24.9 MB/1080p-frame f32 fetch that bounded interactive fps on
+    remote chips) must track the host encode that goldens pin."""
+
+    def test_device_encode_matches_host_within_one_level(self):
+        import jax.numpy as jnp
+
+        from rust_wgpu_raytracing_tpu.io.image_out import (
+            encode_u8_device, framebuffer_to_image)
+
+        rng = np.random.default_rng(11)
+        # spans out-of-range values and both sRGB OETF branches
+        fb = rng.uniform(-0.2, 1.2, size=(33, 65, 3)).astype(np.float32)
+        fb[0, :8, 0] = [0.0, 0.0031308, 0.0032, 1.0, 0.5, 0.00001,
+                        -1.0, 2.0]
+        for srgb in (True, False):
+            host = framebuffer_to_image(fb, srgb=srgb)
+            dev = np.asarray(encode_u8_device(jnp.asarray(fb),
+                                              srgb=srgb))[::-1]
+            delta = np.abs(host.astype(np.int16) - dev.astype(np.int16))
+            assert delta.max() <= 1
+            # boundary-straddling pixels must be rare, not systematic
+            assert (delta != 0).mean() < 0.01
+
+    def test_renderer_present_image_uses_device_encode(self):
+        cfg = SceneConfig(render=RenderConfig(width=64, height=48),
+                          spheres=(SphereConfig(center=(0.0, 0.0, -3.0),
+                                                radius=0.8),))
+        r = Renderer(cfg, backend="megakernel")
+        color, _ = r.render()
+        img = r.present_image()
+        import jax
+
+        from rust_wgpu_raytracing_tpu.io.image_out import (
+            framebuffer_to_image)
+
+        host = framebuffer_to_image(jax.device_get(color), srgb=True)
+        delta = np.abs(img.astype(np.int16) - host.astype(np.int16))
+        assert img.shape == (48, 64, 3) and img.dtype == np.uint8
+        assert delta.max() <= 1
