@@ -31,7 +31,21 @@ from ..io.image_out import encode_u8_device, framebuffer_to_image, write_png
 
 
 class Renderer:
-    def __init__(self, config: SceneConfig, backend: str = "auto"):
+    def __init__(self, config: SceneConfig, backend: str = "auto",
+                 limits=None):
+        """limits: optional runtime.limits.DeviceLimits — validated the
+        way wgpu validates pipelines at creation (the reference's wasm
+        build requests crippled limits, src/lib.rs:136-170,287-297;
+        under them its mesh path cannot validate). Raises ValueError
+        listing every violation."""
+        if limits is not None:
+            from .limits import validate_limits
+
+            bad = validate_limits(config, limits)
+            if bad:
+                raise ValueError(
+                    "scene does not validate under device limits:\n  "
+                    + "\n  ".join(bad))
         self.config = config
         self.scene = Scene.build(config)
         self.camera = Camera.from_config(

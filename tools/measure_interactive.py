@@ -39,7 +39,11 @@ def measure_frame_loop(width, height, n=40, warmup=8):
     from rust_wgpu_raytracing_tpu.runtime.renderer import Renderer
 
     cfg = reference_scene(width, height, shadows=True)
-    cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 0.9)))
+    # pin the known-winner frame program: variant='auto' autotunes by
+    # compiling BOTH programs (2-4.5 min each cold on the tunnel),
+    # which blew the measurement's time budget
+    cfg = dc.replace(cfg, camera=CameraConfig(eye=(0.0, 0.0, 0.9)),
+                     render=dc.replace(cfg.render, variant="fused"))
     r = Renderer(cfg, backend="megakernel")
 
     presents = []
