@@ -72,6 +72,10 @@ def main():
     backend = preflight_backend()
     import jax
 
+    from rust_wgpu_raytracing_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
+
     from rust_wgpu_raytracing_tpu.config import CameraConfig, reference_scene
     from rust_wgpu_raytracing_tpu.core.camera import Camera
     from rust_wgpu_raytracing_tpu.core.controls import CircleCameraController

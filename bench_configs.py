@@ -67,6 +67,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from rust_wgpu_raytracing_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
+
     from rust_wgpu_raytracing_tpu.config import (CameraConfig, MeshConfig,
                                                  RenderConfig, SceneConfig,
                                                  cube_scene, reference_scene)

@@ -89,6 +89,10 @@ def gate_case(name, cfg, results, accel_modes=("cull",), **render_kw):
 def main():
     import jax
 
+    from rust_wgpu_raytracing_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
+
     if jax.default_backend() != "tpu":
         print(json.dumps({"error": "no TPU backend; parity gate needs "
                           "the real chip", "backend": jax.default_backend()}))
